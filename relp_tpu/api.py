@@ -1,0 +1,20 @@
+"""Top-level convenience API.
+
+``solve(path)`` is the one-call equivalent of the reference CLI pipeline
+(src/bin/main.rs:24-64): import → GeneralForm → presolve/standardize →
+two-phase simplex on device → full named solution.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Union
+
+from relp_tpu.io import import_lp
+from relp_tpu.simplex.driver import GeneralFormResult, solve_general_form
+from relp_tpu.utils.config import DEFAULT_CONFIG, SolverConfig
+
+
+def solve(path: Union[str, os.PathLike], config: SolverConfig = DEFAULT_CONFIG) -> GeneralFormResult:
+    general = import_lp(path)
+    return solve_general_form(general, config)

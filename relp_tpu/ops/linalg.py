@@ -1,0 +1,69 @@
+"""Dense linear-algebra kernels for basis-inverse maintenance.
+
+Counterpart of the reference's basis-inverse backends
+(``BasisInverseRows``/``LUDecomposition`` under
+``src/algorithm/two_phase/tableau/inverse_maintenance/carry/``).  The TPU
+engine maintains an explicit dense inverse updated by rank-1 product-form
+pivots (reference product-form update, basis_inverse_rows.rs:20-88) and
+*refactorizes* it from the basis columns periodically (generalizing the
+reference's refactor-after-10-eta-updates policy, lower_upper/mod.rs:199-202).
+
+XLA's LuDecomposition op is F32-only on TPU, so the f64 refactorization is
+implemented here from scratch as a Gauss-Jordan elimination with partial
+pivoting expressed in basic XLA ops (fori_loop + rank-1 updates), which also
+keeps it fully fusible under jit.  A blocked Pallas LU is the planned upgrade.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def gauss_jordan_inverse(B: jax.Array, tiny: float = 1e-300) -> jax.Array:
+    """Invert ``B`` (m×m, float64) by Gauss-Jordan with partial pivoting.
+
+    Near-singular pivots are clamped to ``tiny`` rather than raising — the
+    caller detects a broken inverse through residual checks / phase-1
+    infeasibility, mirroring how the reference's exact arithmetic can simply
+    never produce one.
+    """
+    m = B.shape[0]
+    dtype = B.dtype
+    M = jnp.concatenate([B, jnp.eye(m, dtype=dtype)], axis=1)
+    rows = jnp.arange(m)
+
+    def body(k, M):
+        col = M[:, k]
+        candidates = jnp.where(rows >= k, jnp.abs(col), -1.0)
+        p = jnp.argmax(candidates)
+        # swap rows k and p
+        rk = M[k]
+        rp = M[p]
+        M = M.at[k].set(rp)
+        M = M.at[p].set(rk)
+        piv = M[k, k]
+        piv = jnp.where(jnp.abs(piv) < tiny, jnp.where(piv < 0, -tiny, tiny), piv)
+        newk = M[k] / piv
+        factors = M[:, k].at[k].set(0.0)
+        M = M - factors[:, None] * newk[None, :]
+        M = M.at[k].set(newk)
+        return M
+
+    M = lax.fori_loop(0, m, body, M)
+    return M[:, m:]
+
+
+def rank_one_basis_update(Binv: jax.Array, u: jax.Array, r: jax.Array) -> jax.Array:
+    """Product-form update of the explicit inverse after a pivot.
+
+    ``u = Binv @ a_q`` is the FTRAN result for the entering column, ``r`` the
+    leaving row.  Applies ``E @ Binv`` with ``E = I - (u - e_r) e_rᵀ / u_r``
+    (reference ``BasisInverseRows::change_basis`` normalize-and-row-reduce,
+    basis_inverse_rows.rs:97-155) as one outer product — MXU/VPU friendly.
+    """
+    p = u[r]
+    w = Binv[r] / p
+    Binv = Binv - u[:, None] * w[None, :]
+    return Binv.at[r].set(w)

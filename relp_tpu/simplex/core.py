@@ -1,0 +1,304 @@
+"""The jitted two-phase bounded-variable revised simplex core.
+
+This is the TPU-native replacement for the reference's entire simplex engine
+(``src/algorithm/two_phase/``, SURVEY §2.6): the whole solve is ONE
+``lax.while_loop`` whose body fuses pricing, FTRAN, the ratio test and the
+basis-inverse update into a single device step with no host round-trips.
+
+Mapping (reference → here):
+
+- ``Tableau<IM,K>`` + ``Carry`` (−π, b, basis bookkeeping,
+  tableau/mod.rs:24-38, carry/mod.rs:45-65) → the :class:`State` pytree
+  carried through the loop: ``basis``, ``vstat``, ``xB``, dense ``Binv``.
+- phase 1 / phase 2 drivers (phase_one.rs, phase_two.rs) → a ``phase`` flag
+  in the state; effective costs/bounds switch by ``jnp.where``.  Artificial
+  variables occupy virtual columns ``[n, n+m)`` — never materialized: their
+  columns are ``±e_i`` so FTRAN/refactorization handle them analytically
+  (the reference's ``Artificial`` tableau kinds, kind/artificial/).
+- pivot rules (strategy/pivot_rule.rs) → one fused matvec
+  ``d = c − πᵀA`` over the whole column pool followed by a masked argmax;
+  Dantzig and Bland are different argmax keys.  The anti-cycling guarantee
+  of exact arithmetic is replaced by automatic switching to Bland's rule
+  after a run of degenerate pivots.
+- ratio test with Bland tie-break (tableau/mod.rs:221-247) → vectorized
+  masked minimum over ``(xB − bound)/u`` with a stability tie-break
+  (largest |pivot|), plus *bound-flip* steps from the bounded-variable
+  method (replacing the reference's virtual bound rows, matrix_data.rs:39-52).
+- artificials leaving at zero level (phase_one.rs:223-260
+  ``remove_artificial_basis_variables``) → artificial upper bounds collapse
+  to 0 in phase 2, so the ratio test automatically pivots them out at ratio
+  0 on either pivot sign; rank-deficient rows simply keep their artificial
+  basic at level 0 forever (masking instead of ``RemoveRows`` rebuilds).
+- refactorization (carry/mod.rs:602, lower_upper/mod.rs:199-202) →
+  ``gauss_jordan_inverse`` of the gathered basis columns every
+  ``refactor_period`` pivots, plus once at the phase switch and once at the
+  end for a clean solution.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from relp_tpu.ops.linalg import gauss_jordan_inverse, rank_one_basis_update
+from relp_tpu.simplex import status as st
+from relp_tpu.utils.config import SolverConfig
+
+INF = jnp.inf
+
+
+class State(NamedTuple):
+    basis: jax.Array          # i32[m] — column index in [0, n+m) per row
+    vstat: jax.Array          # i32[n+m]
+    xB: jax.Array             # f64[m] — values of basic variables
+    Binv: jax.Array           # f64[m, m]
+    art_sign: jax.Array       # f64[m] — artificial column i is art_sign[i]*e_i
+    phase: jax.Array          # i32 scalar: 1 or 2
+    status: jax.Array         # i32 scalar
+    it: jax.Array             # i32 — total pivots/flips performed
+    since_refactor: jax.Array # i32
+    degen_count: jax.Array    # i32 — consecutive degenerate steps
+    bland: jax.Array          # bool — Bland's rule active
+
+
+class SolveOutput(NamedTuple):
+    x: jax.Array        # f64[n] — solution in scaled space (structural+slack)
+    status: jax.Array   # i32
+    it: jax.Array       # i32
+    phase: jax.Array    # i32
+    basis: jax.Array    # i32[m]
+    vstat: jax.Array    # i32[n+m]
+    art_inf: jax.Array  # f64 — residual artificial mass (diagnostic)
+
+
+def _nonbasic_values(vstat, lb_tot, ub_tot):
+    """Value of each column when nonbasic (0 for basic columns)."""
+    at_lower = (vstat == st.NB_LOWER) | (vstat == st.NB_FIXED)
+    at_upper = vstat == st.NB_UPPER
+    return jnp.where(at_lower, lb_tot, jnp.where(at_upper, ub_tot, 0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_iter"))
+def solve_core(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int) -> SolveOutput:
+    """Solve  min c@x  s.t.  A@x == b, lb <= x <= ub  (all float64, padded).
+
+    Padded columns must have lb == ub == 0 and c == 0; padded rows must be
+    zero in ``A`` with ``b == 0`` (their artificials stay basic at level 0).
+    """
+    m, n = A.shape
+    f = A.dtype
+
+    # Bounds over the virtual [structural+slack | artificial] column pool.
+    lb_tot = jnp.concatenate([lb, jnp.zeros(m, f)])
+    ub_tot_p2 = jnp.concatenate([ub, jnp.zeros(m, f)])  # artificials pinned to 0 in phase 2
+
+    can_enter = (lb < ub)  # fixed + padded columns never enter
+    col_ids = jnp.arange(n)
+
+    # ---- initial state: all-artificial basis (reference `Fully` kind) ----
+    finite_lb = jnp.isfinite(lb)
+    finite_ub = jnp.isfinite(ub)
+    vstat0_n = jnp.where(
+        lb == ub,
+        st.NB_FIXED,
+        jnp.where(finite_lb, st.NB_LOWER, jnp.where(finite_ub, st.NB_UPPER, st.NB_FREE)),
+    )
+    vstat0 = jnp.concatenate([vstat0_n, jnp.full(m, st.BASIC, jnp.int32)]).astype(jnp.int32)
+    x0 = _nonbasic_values(vstat0[:n], lb, ub)
+    r0 = b - A @ x0
+    art_sign = jnp.where(r0 >= 0, 1.0, -1.0).astype(f)
+    state0 = State(
+        basis=n + jnp.arange(m, dtype=jnp.int32),
+        vstat=vstat0,
+        xB=jnp.abs(r0),
+        Binv=jnp.diag(art_sign),  # diag(±1) is its own inverse
+        art_sign=art_sign,
+        phase=jnp.int32(1),
+        status=jnp.int32(st.RUNNING),
+        it=jnp.int32(0),
+        since_refactor=jnp.int32(0),
+        degen_count=jnp.int32(0),
+        bland=jnp.bool_(cfg.pricing == "bland"),
+    )
+
+    def art_mass(s: State):
+        return jnp.sum(jnp.where(s.basis >= n, jnp.abs(s.xB), 0.0))
+
+    # ---- refactorization ----
+    def refactor(s: State) -> State:
+        is_art = s.basis >= n
+        struct_cols = jnp.take(A, jnp.clip(s.basis, 0, n - 1), axis=1)  # (m, m)
+        k = jnp.clip(s.basis - n, 0, m - 1)
+        art_cols = (jnp.arange(m)[:, None] == k[None, :]) * s.art_sign[k][None, :]
+        B = jnp.where(is_art[None, :], art_cols, struct_cols)
+        Binv = gauss_jordan_inverse(B)
+        nb = _nonbasic_values(s.vstat, lb_tot, ub_tot_p2)
+        nb = jnp.where(s.vstat == st.BASIC, 0.0, nb)
+        r = b - A @ nb[:n]  # nonbasic artificials sit at 0
+        xB = Binv @ r
+        # snap residual artificial levels (≤ eps_feas) to exactly 0 so the
+        # phase-2 pinned bounds don't force micro ratio steps
+        xB = jnp.where(is_art & (jnp.abs(xB) <= cfg.eps_feas), 0.0, xB)
+        return s._replace(Binv=Binv, xB=xB, since_refactor=jnp.int32(0))
+
+    # ---- loop body ----
+    def body(s: State) -> State:
+        # phase transition: artificial mass numerically zero => real costs
+        transition = (s.phase == 1) & (art_mass(s) <= cfg.eps_feas)
+        s = s._replace(
+            phase=jnp.where(transition, 2, s.phase).astype(jnp.int32),
+            # force a clean refactor at the phase switch
+            since_refactor=jnp.where(
+                transition, cfg.refactor_period, s.since_refactor
+            ).astype(jnp.int32),
+        )
+        s = lax.cond(s.since_refactor >= cfg.refactor_period, refactor, lambda s: s, s)
+
+        phase1 = s.phase == 1
+        # effective costs: phase 1 prices the artificial-mass objective
+        c_eff = jnp.where(phase1, jnp.zeros_like(c), c)
+        cB = jnp.where(
+            s.basis >= n,
+            jnp.where(phase1, 1.0, 0.0),
+            jnp.take(c_eff, jnp.clip(s.basis, 0, n - 1)),
+        )
+
+        # ---- pricing: one fused matvec over the whole column pool ----
+        pi = cB @ s.Binv
+        d = c_eff - pi @ A
+        vs = s.vstat[:n]
+        imp_l = ((vs == st.NB_LOWER) | (vs == st.NB_FREE)) & (d < -cfg.eps_dual)
+        imp_u = ((vs == st.NB_UPPER) | (vs == st.NB_FREE)) & (d > cfg.eps_dual)
+        viol = jnp.where(imp_l, -d, 0.0) + jnp.where(imp_u, d, 0.0)
+        viol = jnp.where(can_enter & (vs != st.BASIC), viol, 0.0)
+        q_dantzig = jnp.argmax(viol)
+        q_bland = jnp.argmin(jnp.where(viol > 0, col_ids, n))
+        q = jnp.where(s.bland, q_bland, q_dantzig).astype(jnp.int32)
+        has_entering = viol[q] > 0
+
+        def terminal(s: State) -> State:
+            # no improving column: optimal (phase 2) or infeasible (phase 1,
+            # since the transition check above didn't fire)
+            new_status = jnp.where(phase1, st.INFEASIBLE, st.OPTIMAL)
+            return s._replace(status=new_status.astype(jnp.int32))
+
+        def iterate(s: State) -> State:
+            t = jnp.where(
+                vs[q] == st.NB_UPPER,
+                -1.0,
+                jnp.where(vs[q] == st.NB_FREE, -jnp.sign(d[q]), 1.0),
+            )
+            a_q = jnp.take(A, q, axis=1)
+            u = s.Binv @ a_q       # FTRAN
+            ut = t * u
+
+            k = s.basis
+            is_art_k = k >= n
+            lbk = jnp.take(lb_tot, k)
+            ubk = jnp.take(ub_tot_p2, k)
+            ubk = jnp.where(is_art_k & phase1, INF, ubk)  # artificials free upward in phase 1
+
+            ratios = jnp.where(
+                ut > cfg.eps_pivot,
+                (s.xB - lbk) / ut,
+                jnp.where(ut < -cfg.eps_pivot, (s.xB - ubk) / ut, INF),
+            )
+            ratios = jnp.maximum(ratios, 0.0)
+            theta_rows = jnp.min(ratios)
+            bound_range = ub[q] - lb[q]
+            theta = jnp.minimum(theta_rows, bound_range)
+            start_val = jnp.where(
+                vs[q] == st.NB_UPPER, ub[q], jnp.where(vs[q] == st.NB_LOWER, lb[q], 0.0)
+            )
+
+            def unbounded(s: State) -> State:
+                # phase 1 cannot be unbounded (objective >= 0); hitting this
+                # there means the inverse has degraded
+                new_status = jnp.where(phase1, st.NUMERICAL, st.UNBOUNDED)
+                return s._replace(status=new_status.astype(jnp.int32))
+
+            def step(s: State) -> State:
+                degen = theta <= cfg.eps_zero
+                degen_count = jnp.where(degen, s.degen_count + 1, 0).astype(jnp.int32)
+                # Bland's rule engages after a run of degenerate pivots and
+                # disengages as soon as a real step is taken again.
+                bland = jnp.where(
+                    degen, s.bland | (degen_count >= cfg.bland_trigger), False
+                )
+                if cfg.pricing == "bland":
+                    bland = jnp.bool_(True)
+
+                def do_flip(s: State) -> State:
+                    new_vs = jnp.where(vs[q] == st.NB_LOWER, st.NB_UPPER, st.NB_LOWER)
+                    return s._replace(
+                        xB=s.xB - theta * ut,
+                        vstat=s.vstat.at[q].set(new_vs.astype(jnp.int32)),
+                    )
+
+                def do_pivot(s: State) -> State:
+                    elig = ratios <= theta_rows + cfg.eps_ratio
+                    r_stab = jnp.argmax(jnp.where(elig, jnp.abs(ut), -1.0))
+                    r_bland = jnp.argmin(jnp.where(elig, k, n + m))
+                    r = jnp.where(bland, r_bland, r_stab).astype(jnp.int32)
+                    kr = k[r]
+                    xB = s.xB - theta * ut
+                    xB = xB.at[r].set(start_val + t * theta)
+                    leave_stat = jnp.where(
+                        jnp.take(lb_tot, kr) == jnp.take(ub_tot_p2, kr),
+                        st.NB_FIXED,
+                        jnp.where(ut[r] > 0, st.NB_LOWER, st.NB_UPPER),
+                    )
+                    vstat = s.vstat.at[kr].set(leave_stat.astype(jnp.int32))
+                    vstat = vstat.at[q].set(st.BASIC)
+                    Binv = rank_one_basis_update(s.Binv, u, r)
+                    return s._replace(
+                        basis=s.basis.at[r].set(q),
+                        vstat=vstat,
+                        xB=xB,
+                        Binv=Binv,
+                        since_refactor=s.since_refactor + 1,
+                    )
+
+                flip = bound_range < theta_rows
+                s = lax.cond(flip, do_flip, do_pivot, s)
+                return s._replace(degen_count=degen_count, bland=bland)
+
+            return lax.cond(jnp.isinf(theta), unbounded, step, s)
+
+        s = lax.cond(has_entering, iterate, terminal, s)
+        return s._replace(it=s.it + 1)
+
+    def cond(s: State):
+        return (s.status == st.RUNNING) & (s.it < max_iter)
+
+    final = lax.while_loop(cond, body, state0)
+    final = final._replace(
+        status=jnp.where(
+            final.status == st.RUNNING, st.ITERATION_LIMIT, final.status
+        ).astype(jnp.int32)
+    )
+    # clean final refactor: crisp Binv and freshly-computed xB for extraction
+    final = refactor(final)
+
+    # ---- extract the solution vector ----
+    nb = _nonbasic_values(final.vstat, lb_tot, ub_tot_p2)
+    nb = jnp.where(final.vstat == st.BASIC, 0.0, nb)
+    x_pad = jnp.zeros(n + 1, f).at[:n].set(nb[:n])
+    target = jnp.where(final.basis < n, final.basis, n)
+    x_pad = x_pad.at[target].set(jnp.where(final.basis < n, final.xB, 0.0))
+    x = x_pad[:n]
+
+    return SolveOutput(
+        x=x,
+        status=final.status,
+        it=final.it,
+        phase=final.phase,
+        basis=final.basis,
+        vstat=final.vstat,
+        art_inf=art_mass(final),
+    )

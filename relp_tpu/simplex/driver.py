@@ -1,0 +1,160 @@
+"""Host driver: pad, dispatch to the jitted core, map results back.
+
+Counterpart of the reference's ``SolveRelaxation::solve_relaxation``
+entry point (``src/algorithm/mod.rs:20-39`` / ``two_phase/mod.rs:25-113``):
+takes a computational form, runs the two-phase engine, and reconstructs a
+named solution.  Shape padding buckets the jit cache (the TPU analogue of
+the reference's compile-time type-parameter specialization).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import numpy as np
+
+from relp_tpu.model.computational_form import ComputationalForm
+from relp_tpu.model.elements import LinearProgramType
+from relp_tpu.model.general_form import GeneralForm
+from relp_tpu.model.solution import Solution
+from relp_tpu.simplex import status as st
+from relp_tpu.simplex.core import solve_core
+from relp_tpu.utils.config import DEFAULT_CONFIG, SolverConfig
+
+INF = float("inf")
+
+
+@dataclass
+class SimplexResult:
+    kind: LinearProgramType
+    objective: Optional[float] = None
+    x_structural: Optional[np.ndarray] = None  # original units, structural columns
+    iterations: int = 0
+    art_residual: float = 0.0
+
+    @property
+    def is_optimal(self) -> bool:
+        return self.kind is LinearProgramType.FINITE_OPTIMUM
+
+
+def _round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult if x > 0 else mult
+
+
+def solve_computational_form(
+    cf: ComputationalForm, config: SolverConfig = DEFAULT_CONFIG
+) -> SimplexResult:
+    m, n = cf.m, cf.n
+
+    if np.any(cf.lb > cf.ub):
+        return SimplexResult(kind=LinearProgramType.INFEASIBLE)
+
+    if m == 0 or n == 0:
+        return _solve_trivial(cf)
+
+    m_pad = _round_up(m, config.row_align)
+    n_pad = _round_up(n, config.col_align)
+
+    A = np.zeros((m_pad, n_pad), dtype=np.float64)
+    A[:m, :n] = cf.A
+    b = np.zeros(m_pad, dtype=np.float64)
+    b[:m] = cf.b
+    c = np.zeros(n_pad, dtype=np.float64)
+    c[:n] = cf.c
+    lb = np.zeros(n_pad, dtype=np.float64)
+    ub = np.zeros(n_pad, dtype=np.float64)  # padded cols fixed at 0
+    lb[:n] = cf.lb
+    ub[:n] = cf.ub
+
+    max_iter = config.resolve_max_iter(m, n)
+    out = solve_core(A, b, c, lb, ub, cfg=config, max_iter=max_iter)
+
+    status = int(out.status)
+    kind = st.STATUS_TO_TYPE[status]
+    result = SimplexResult(
+        kind=kind,
+        iterations=int(out.it),
+        art_residual=float(out.art_inf),
+    )
+    if kind is LinearProgramType.FINITE_OPTIMUM:
+        x_scaled = np.asarray(out.x)[:n]
+        result.objective = cf.objective_of(x_scaled)
+        result.x_structural = cf.structural_values(x_scaled)
+    return result
+
+
+def _solve_trivial(cf: ComputationalForm) -> SimplexResult:
+    """Handle LPs with no constraints (bounds-only) or no columns."""
+    if cf.n == 0:
+        # no variables at all: feasible iff b ≈ 0 on every (equality) row
+        if cf.m == 0 or np.all(np.abs(cf.b) <= 1e-9):
+            return SimplexResult(
+                kind=LinearProgramType.FINITE_OPTIMUM,
+                objective=-cf.fixed_cost if cf.maximize else cf.fixed_cost,
+                x_structural=np.zeros(0),
+            )
+        return SimplexResult(kind=LinearProgramType.INFEASIBLE)
+
+    # m == 0: minimize c@x over the box alone
+    x = np.zeros(cf.n)
+    for j in range(cf.n):
+        cj, lo, hi = cf.c[j], cf.lb[j], cf.ub[j]
+        if cj > 0:
+            if not np.isfinite(lo):
+                return SimplexResult(kind=LinearProgramType.UNBOUNDED)
+            x[j] = lo
+        elif cj < 0:
+            if not np.isfinite(hi):
+                return SimplexResult(kind=LinearProgramType.UNBOUNDED)
+            x[j] = hi
+        else:
+            x[j] = lo if np.isfinite(lo) else (hi if np.isfinite(hi) else 0.0)
+    return SimplexResult(
+        kind=LinearProgramType.FINITE_OPTIMUM,
+        objective=cf.objective_of(x),
+        x_structural=cf.structural_values(x),
+        iterations=0,
+    )
+
+
+def solve_general_form(
+    general: GeneralForm,
+    config: SolverConfig = DEFAULT_CONFIG,
+) -> "GeneralFormResult":
+    """End-to-end: GeneralForm → computational form → device solve → Solution.
+
+    Mirrors the reference CLI pipeline (src/bin/main.rs:24-64):
+    derive matrix data → solve relaxation → reconstruct → full solution.
+    """
+    from relp_tpu.model.computational_form import build_computational_form
+
+    trivially = general.trivial_infeasibility()
+    if trivially is not None:
+        return GeneralFormResult(kind=trivially)
+
+    done = general.compute_solution_where_possible()
+    if done is not None:
+        return GeneralFormResult(kind=LinearProgramType.FINITE_OPTIMUM, solution=done)
+
+    cf = build_computational_form(general, scale=config.scale)
+    res = solve_computational_form(cf, config)
+    if not res.is_optimal:
+        return GeneralFormResult(kind=res.kind, simplex=res)
+
+    reduced: Dict[str, float] = {
+        v.name: float(res.x_structural[j]) for j, v in enumerate(general.variables)
+    }
+    solution = general.compute_full_solution(reduced)
+    # Use the (sense-adjusted) device objective, which includes fixed cost.
+    solution.objective_value = res.objective
+    return GeneralFormResult(
+        kind=LinearProgramType.FINITE_OPTIMUM, solution=solution, simplex=res
+    )
+
+
+@dataclass
+class GeneralFormResult:
+    kind: LinearProgramType
+    solution: Optional[Solution] = None
+    simplex: Optional[SimplexResult] = None

@@ -1,0 +1,68 @@
+"""Solver configuration.
+
+The reference chooses number type, inverse maintainer, basis-inverse backend
+and pivot rule as compile-time *type parameters* at the call site (e.g.
+``Carry<RationalBig, LUDecomposition<_>>`` in reference ``src/bin/main.rs:52``).
+Here the analogue is a frozen (hashable) dataclass whose fields are static
+arguments to the jitted solve — each distinct config compiles its own
+specialized XLA program, which is the TPU-native form of static dispatch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Tolerances and policies for the float64 revised simplex.
+
+    The reference needs no tolerances (exact rational arithmetic); these
+    fields replace exact comparisons, and ``refactor_period`` generalizes the
+    reference's refactor-after-10-eta-updates policy
+    (``lower_upper/mod.rs:199-202``).
+    """
+
+    # Iteration limits. ``max_iter <= 0`` means: choose ``max_iter_factor *
+    # (m + n)`` at solve time.
+    max_iter: int = 0
+    max_iter_factor: int = 40
+
+    # Rebuild the basis inverse from scratch every this many pivots.
+    refactor_period: int = 64
+
+    # Dual feasibility: reduced costs within [-eps_dual, eps_dual] count as 0.
+    eps_dual: float = 1e-7
+    # Minimum acceptable pivot magnitude in the ratio test.
+    eps_pivot: float = 1e-9
+    # Absolute tie tolerance when choosing the leaving row.
+    eps_ratio: float = 1e-9
+    # Phase-1 infeasibility threshold: artificial mass below this is "zero".
+    eps_feas: float = 1e-7
+    # Steps smaller than this count as degenerate.
+    eps_zero: float = 1e-11
+
+    # Switch to Bland's rule after this many consecutive degenerate pivots
+    # (anti-cycling; the reference relies on Bland tie-breaking plus exact
+    # arithmetic, tableau/mod.rs:221-247).
+    bland_trigger: int = 100
+
+    # Pricing rule: "dantzig" (most negative reduced cost; reference
+    # `SteepestDescent`, pivot_rule.rs:97-127) or "bland".
+    pricing: str = "dantzig"
+
+    # Apply geometric-mean equilibration scaling before solving.
+    scale: bool = True
+
+    # Pad row/column counts up to multiples of these (TPU tile alignment and
+    # jit-cache bucketing).
+    row_align: int = 8
+    col_align: int = 128
+
+    def resolve_max_iter(self, m: int, n: int) -> int:
+        if self.max_iter > 0:
+            return self.max_iter
+        return max(1000, self.max_iter_factor * (m + n))
+
+
+DEFAULT_CONFIG = SolverConfig()

@@ -1,0 +1,73 @@
+"""End-to-end solves against the reference's public problem corpora.
+
+Expected objectives are the third-party values the reference asserts
+(GLPK/Gurobi/CLP/Koch; see BASELINE.md and reference tests/burkardt,
+tests/netlib, tests/unicamp).  Problem files are read from the read-only
+reference mount; tests skip when unavailable.
+"""
+
+import pytest
+
+import relp_tpu  # noqa: F401
+from relp_tpu.api import solve
+from relp_tpu.model.elements import LinearProgramType
+from tests.conftest import reference_problem
+
+
+def check_optimal(path, expected, tol):
+    res = solve(path)
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM, res.kind
+    assert res.solution.objective_value == pytest.approx(expected, abs=tol)
+    return res
+
+
+# ---- burkardt (small classic MPS; reference tests/burkardt/test.rs) ----
+
+def test_burkardt_testprob():
+    check_optimal(reference_problem("burkardt", "testprob.mps"), 54.0, 1e-9)
+
+
+def test_burkardt_maros():
+    check_optimal(reference_problem("burkardt", "maros.mps"), 385.0 / 3.0, 1e-9)
+
+
+def test_burkardt_adlittle():
+    # exact reference value 24975305659811992079614961229/120651674036153428931840
+    check_optimal(
+        reference_problem("burkardt", "adlittle.mps"), 207003.3910373105, 1e-4
+    )
+
+
+def test_burkardt_afiro():
+    check_optimal(reference_problem("burkardt", "afiro.mps"), -464.753142857, 1e-6)
+
+
+def test_burkardt_nazareth_unbounded():
+    res = solve(reference_problem("burkardt", "nazareth.mps"))
+    assert res.kind is LinearProgramType.UNBOUNDED
+
+
+# ---- netlib SIF (fixed format; reference tests/netlib/test.rs) ----
+
+def test_netlib_afiro():
+    check_optimal(reference_problem("netlib", "AFIRO.SIF"), -4.6475314286e2, 1e-3)
+
+
+def test_netlib_adlittle():
+    check_optimal(reference_problem("netlib", "ADLITTLE.SIF"), 2.2549496316e5, 1e-3 * 2.3e5)
+
+
+def test_netlib_sc50a():
+    check_optimal(reference_problem("netlib", "SC50A.SIF"), -6.4575077059e1, 1e-5)
+
+
+def test_netlib_sc50b():
+    check_optimal(reference_problem("netlib", "SC50B.SIF"), -70.0, 1e-7)
+
+
+# ---- unicamp (free MPS; reference tests/unicamp/test.rs) ----
+
+def test_unicamp_model_data_1():
+    check_optimal(
+        reference_problem("unicamp", "model_data_1.mps"), 123.0 / 38.0, 1e-6
+    )
