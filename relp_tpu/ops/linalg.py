@@ -21,20 +21,23 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def gauss_jordan_inverse(B: jax.Array, tiny: float = 1e-300) -> jax.Array:
+def gauss_jordan_inverse(B: jax.Array, tiny: float = 1e-300):
     """Invert ``B`` (m×m, float64) by Gauss-Jordan with partial pivoting.
 
-    Near-singular pivots are clamped to ``tiny`` rather than raising — the
-    caller detects a broken inverse through residual checks / phase-1
-    infeasibility, mirroring how the reference's exact arithmetic can simply
-    never produce one.
+    Returns ``(B_inv, min_abs_pivot)``.  ``min_abs_pivot`` is the smallest
+    pivot magnitude encountered — near zero means ``B`` is (numerically)
+    singular and the caller should repair the basis (the reference's exact
+    arithmetic can simply never produce one).  Near-singular pivots are
+    clamped to ``tiny`` rather than raising so the computation stays
+    shape-static under jit.
     """
     m = B.shape[0]
     dtype = B.dtype
     M = jnp.concatenate([B, jnp.eye(m, dtype=dtype)], axis=1)
     rows = jnp.arange(m)
 
-    def body(k, M):
+    def body(k, carry):
+        M, min_piv = carry
         col = M[:, k]
         candidates = jnp.where(rows >= k, jnp.abs(col), -1.0)
         p = jnp.argmax(candidates)
@@ -44,15 +47,16 @@ def gauss_jordan_inverse(B: jax.Array, tiny: float = 1e-300) -> jax.Array:
         M = M.at[k].set(rp)
         M = M.at[p].set(rk)
         piv = M[k, k]
+        min_piv = jnp.minimum(min_piv, jnp.abs(piv))
         piv = jnp.where(jnp.abs(piv) < tiny, jnp.where(piv < 0, -tiny, tiny), piv)
         newk = M[k] / piv
         factors = M[:, k].at[k].set(0.0)
         M = M - factors[:, None] * newk[None, :]
         M = M.at[k].set(newk)
-        return M
+        return M, min_piv
 
-    M = lax.fori_loop(0, m, body, M)
-    return M[:, m:]
+    M, min_piv = lax.fori_loop(0, m, body, (M, jnp.array(jnp.inf, dtype)))
+    return M[:, m:], min_piv
 
 
 def rank_one_basis_update(Binv: jax.Array, u: jax.Array, r: jax.Array) -> jax.Array:

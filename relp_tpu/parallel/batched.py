@@ -1,0 +1,54 @@
+"""Scenario-batched solves: many same-shape LPs at once (the DP analogue).
+
+The reference solves one LP per process; on TPU, throughput for LP *fleets*
+(scenario analysis, column-generation subproblems, relaxations in a future
+branch-and-bound) comes from vmapping the whole two-phase solve over a
+leading scenario axis and sharding that axis over the 'batch' mesh
+dimension.  Every scenario runs the same static program; divergent iteration
+counts are handled by the shared ``max_iter`` bound with early-exited
+scenarios idling (their ``status`` freezes the state via the while-loop
+condition being per-program — scenarios that finish keep executing no-op
+iterations until all are done; acceptable for same-shape fleets).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from relp_tpu.simplex.core import solve_core
+from relp_tpu.utils.config import SolverConfig
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_iter"))
+def _solve_batch(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int):
+    solver = functools.partial(solve_core, cfg=cfg, max_iter=max_iter)
+    return jax.vmap(solver)(A, b, c, lb, ub)
+
+
+def solve_batched(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int, mesh: Mesh = None):
+    """Solve a stack of LPs: inputs have a leading scenario axis.
+
+    With a mesh, the scenario axis is sharded over 'batch' (and columns over
+    'cols' when its size divides the column count).
+    """
+    arrays = [np.asarray(x, np.float64) for x in (A, b, c, lb, ub)]
+    if mesh is not None:
+        n = arrays[0].shape[2]
+        cols_ok = n % mesh.shape["cols"] == 0
+        col_axis = "cols" if cols_ok else None
+        shardings = [
+            NamedSharding(mesh, P("batch", None, col_axis)),  # A
+            NamedSharding(mesh, P("batch", None)),            # b
+            NamedSharding(mesh, P("batch", col_axis)),        # c
+            NamedSharding(mesh, P("batch", col_axis)),        # lb
+            NamedSharding(mesh, P("batch", col_axis)),        # ub
+        ]
+        arrays = [jax.device_put(x, s) for x, s in zip(arrays, shardings)]
+        with jax.sharding.use_mesh(mesh):
+            return _solve_batch(*arrays, cfg=cfg, max_iter=max_iter)
+    return _solve_batch(*arrays, cfg=cfg, max_iter=max_iter)

@@ -1,0 +1,49 @@
+"""Column-sharded simplex solve (the pricing-parallel path).
+
+The hot loop of the reference is the full pricing scan
+(pivot_rule.rs:113-123: per-iteration O(n) sparse dots against −π).  Here
+pricing is already one fused matvec in :func:`relp_tpu.simplex.core.solve_core`;
+this module runs that same program with the column pool **sharded over the
+'cols' mesh axis**: each device prices its local block of ``A`` and XLA/GSPMD
+inserts the cross-chip argmax/gather collectives automatically (the
+scaling-book recipe: pick a mesh, annotate shardings, let XLA place
+collectives).  The basis inverse, right-hand side and row-indexed state stay
+replicated (m ≪ n for Netlib-like LPs — SURVEY §2.8 "basis inverse
+placement").
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from relp_tpu.simplex.core import solve_core
+from relp_tpu.utils.config import SolverConfig
+
+
+def shard_inputs(mesh: Mesh, A, b, c, lb, ub):
+    """Place the problem arrays: A/c/lb/ub column-sharded, b replicated."""
+    col_sharding = NamedSharding(mesh, P(None, "cols"))
+    vec_sharding = NamedSharding(mesh, P("cols"))
+    rep = NamedSharding(mesh, P())
+    A = jax.device_put(np.asarray(A, np.float64), col_sharding)
+    b = jax.device_put(np.asarray(b, np.float64), rep)
+    c = jax.device_put(np.asarray(c, np.float64), vec_sharding)
+    lb = jax.device_put(np.asarray(lb, np.float64), vec_sharding)
+    ub = jax.device_put(np.asarray(ub, np.float64), vec_sharding)
+    return A, b, c, lb, ub
+
+
+def solve_sharded(mesh: Mesh, A, b, c, lb, ub, cfg: SolverConfig, max_iter: int):
+    """Run the standard solve core with column-sharded inputs.
+
+    The device count along 'cols' must divide the (padded) column count.
+    """
+    n = np.asarray(A).shape[1]
+    n_shards = mesh.shape["cols"]
+    if n % n_shards != 0:
+        raise ValueError(f"column count {n} not divisible by 'cols' axis size {n_shards}")
+    A, b, c, lb, ub = shard_inputs(mesh, A, b, c, lb, ub)
+    with jax.sharding.use_mesh(mesh):
+        return solve_core(A, b, c, lb, ub, cfg=cfg, max_iter=max_iter)

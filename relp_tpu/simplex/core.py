@@ -64,6 +64,7 @@ class State(NamedTuple):
     since_refactor: jax.Array # i32
     degen_count: jax.Array    # i32 — consecutive degenerate steps
     bland: jax.Array          # bool — Bland's rule active
+    repairs: jax.Array        # i32 — singular-basis repairs performed
 
 
 class SolveOutput(NamedTuple):
@@ -124,10 +125,49 @@ def solve_core(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int) -> SolveOutput
         since_refactor=jnp.int32(0),
         degen_count=jnp.int32(0),
         bland=jnp.bool_(cfg.pricing == "bland"),
+        repairs=jnp.int32(0),
     )
 
     def art_mass(s: State):
         return jnp.sum(jnp.where(s.basis >= n, jnp.abs(s.xB), 0.0))
+
+    # ---- basis repair: warm phase-1 restart from the artificial basis ----
+    def repair(s: State) -> State:
+        """The float-world analogue of a situation the exact-arithmetic
+        reference cannot reach: the maintained basis went numerically
+        singular.  Demote every basic structural column to a nonbasic
+        status (keeping all other statuses — the warm part), put the
+        artificials back, and resume in phase 1 under Bland's rule."""
+        vs_all = s.vstat
+        demote = jnp.where(
+            lb_tot == ub_tot_p2,
+            st.NB_FIXED,
+            jnp.where(
+                jnp.isfinite(lb_tot),
+                st.NB_LOWER,
+                jnp.where(jnp.isfinite(ub_tot_p2), st.NB_UPPER, st.NB_FREE),
+            ),
+        )
+        vstat = jnp.where(vs_all == st.BASIC, demote, vs_all).astype(jnp.int32)
+        vstat = vstat.at[n:].set(st.BASIC)
+        x0 = _nonbasic_values(vstat[:n], lb, ub)
+        r0 = b - A @ x0
+        sign = jnp.where(r0 >= 0, 1.0, -1.0).astype(A.dtype)
+        return s._replace(
+            basis=n + jnp.arange(m, dtype=jnp.int32),
+            vstat=vstat,
+            xB=jnp.abs(r0),
+            Binv=jnp.diag(sign),
+            art_sign=sign,
+            phase=jnp.int32(1),
+            since_refactor=jnp.int32(0),
+            degen_count=jnp.int32(0),
+            bland=jnp.bool_(True),
+            repairs=s.repairs + 1,
+            status=jnp.where(
+                s.repairs + 1 > 3, st.NUMERICAL, s.status
+            ).astype(jnp.int32),
+        )
 
     # ---- refactorization ----
     def refactor(s: State) -> State:
@@ -136,18 +176,36 @@ def solve_core(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int) -> SolveOutput
         k = jnp.clip(s.basis - n, 0, m - 1)
         art_cols = (jnp.arange(m)[:, None] == k[None, :]) * s.art_sign[k][None, :]
         B = jnp.where(is_art[None, :], art_cols, struct_cols)
-        Binv = gauss_jordan_inverse(B)
-        nb = _nonbasic_values(s.vstat, lb_tot, ub_tot_p2)
-        nb = jnp.where(s.vstat == st.BASIC, 0.0, nb)
-        r = b - A @ nb[:n]  # nonbasic artificials sit at 0
-        xB = Binv @ r
-        # snap residual artificial levels (≤ eps_feas) to exactly 0 so the
-        # phase-2 pinned bounds don't force micro ratio steps
-        xB = jnp.where(is_art & (jnp.abs(xB) <= cfg.eps_feas), 0.0, xB)
-        return s._replace(Binv=Binv, xB=xB, since_refactor=jnp.int32(0))
+        Binv, min_piv = gauss_jordan_inverse(B)
+
+        def rebuild(s: State) -> State:
+            nb = _nonbasic_values(s.vstat, lb_tot, ub_tot_p2)
+            nb = jnp.where(s.vstat == st.BASIC, 0.0, nb)
+            r = b - A @ nb[:n]  # nonbasic artificials sit at 0
+            xB = Binv @ r
+            # snap residual artificial levels (≤ eps_feas) to exactly 0 so
+            # the phase-2 pinned bounds don't force micro ratio steps
+            xB = jnp.where(is_art & (jnp.abs(xB) <= cfg.eps_feas), 0.0, xB)
+            return s._replace(Binv=Binv, xB=xB, since_refactor=jnp.int32(0))
+
+        return lax.cond(min_piv < cfg.singular_tol, repair, rebuild, s)
 
     # ---- loop body ----
     def body(s: State) -> State:
+        # Numerical watchdog: a non-finite basic solution means the inverse
+        # has degraded (the exact-arithmetic reference can't hit this).  A
+        # refactorization rebuilds from clean problem columns; if the state
+        # is broken immediately after one, give up with NUMERICAL.
+        broken = ~jnp.isfinite(jnp.sum(s.xB))
+        s = s._replace(
+            status=jnp.where(
+                broken & (s.since_refactor == 0), st.NUMERICAL, s.status
+            ).astype(jnp.int32),
+            since_refactor=jnp.where(
+                broken, cfg.refactor_period, s.since_refactor
+            ).astype(jnp.int32),
+        )
+
         # phase transition: artificial mass numerically zero => real costs
         transition = (s.phase == 1) & (art_mass(s) <= cfg.eps_feas)
         s = s._replace(
@@ -203,18 +261,44 @@ def solve_core(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int) -> SolveOutput
             ubk = jnp.take(ub_tot_p2, k)
             ubk = jnp.where(is_art_k & phase1, INF, ubk)  # artificials free upward in phase 1
 
-            ratios = jnp.where(
-                ut > cfg.eps_pivot,
+            # Harris two-pass ratio test: pass 1 finds the largest step that
+            # violates no basic bound by more than δ; pass 2 picks the
+            # largest-|pivot| row whose strict ratio fits within it.  This is
+            # the float-world replacement for the reference's exact ratio
+            # test with Bland tie-break (tableau/mod.rs:221-247): with exact
+            # arithmetic any minimal-ratio pivot is safe; with f64, choosing
+            # a large pivot among near-ties is what keeps B⁻¹ well-behaved.
+            delta = cfg.harris_delta
+            pos = ut > cfg.eps_pivot
+            neg = ut < -cfg.eps_pivot
+            strict = jnp.where(
+                pos,
                 (s.xB - lbk) / ut,
-                jnp.where(ut < -cfg.eps_pivot, (s.xB - ubk) / ut, INF),
+                jnp.where(neg, (s.xB - ubk) / ut, INF),
             )
-            ratios = jnp.maximum(ratios, 0.0)
-            theta_rows = jnp.min(ratios)
+            strict = jnp.maximum(strict, 0.0)
+            relaxed = jnp.where(
+                pos,
+                (s.xB - lbk + delta) / ut,
+                jnp.where(neg, (s.xB - ubk - delta) / ut, INF),
+            )
+            relaxed = jnp.maximum(relaxed, 0.0)
+            theta_max = jnp.min(relaxed)
             bound_range = ub[q] - lb[q]
-            theta = jnp.minimum(theta_rows, bound_range)
             start_val = jnp.where(
                 vs[q] == st.NB_UPPER, ub[q], jnp.where(vs[q] == st.NB_LOWER, lb[q], 0.0)
             )
+
+            # pass 2: leaving-row choice
+            elig = strict <= theta_max
+            r_stab = jnp.argmax(jnp.where(elig, jnp.abs(ut), -1.0))
+            # Bland mode: smallest basis index among minimal-ratio rows, but
+            # never on a pivot that is relatively tiny — strict Bland ignores
+            # magnitude, which is exactly what breeds singular bases in f64.
+            elig_b = strict <= jnp.min(strict) + cfg.eps_ratio
+            max_piv_b = jnp.max(jnp.where(elig_b, jnp.abs(ut), 0.0))
+            elig_b = elig_b & (jnp.abs(ut) >= 0.01 * max_piv_b)
+            r_bland = jnp.argmin(jnp.where(elig_b, k, n + m))
 
             def unbounded(s: State) -> State:
                 # phase 1 cannot be unbounded (objective >= 0); hitting this
@@ -223,6 +307,9 @@ def solve_core(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int) -> SolveOutput
                 return s._replace(status=new_status.astype(jnp.int32))
 
             def step(s: State) -> State:
+                r = jnp.where(s.bland, r_bland, r_stab).astype(jnp.int32)
+                theta_piv = strict[r]
+                theta = jnp.minimum(theta_piv, bound_range)
                 degen = theta <= cfg.eps_zero
                 degen_count = jnp.where(degen, s.degen_count + 1, 0).astype(jnp.int32)
                 # Bland's rule engages after a run of degenerate pivots and
@@ -241,10 +328,6 @@ def solve_core(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int) -> SolveOutput
                     )
 
                 def do_pivot(s: State) -> State:
-                    elig = ratios <= theta_rows + cfg.eps_ratio
-                    r_stab = jnp.argmax(jnp.where(elig, jnp.abs(ut), -1.0))
-                    r_bland = jnp.argmin(jnp.where(elig, k, n + m))
-                    r = jnp.where(bland, r_bland, r_stab).astype(jnp.int32)
                     kr = k[r]
                     xB = s.xB - theta * ut
                     xB = xB.at[r].set(start_val + t * theta)
@@ -264,11 +347,12 @@ def solve_core(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int) -> SolveOutput
                         since_refactor=s.since_refactor + 1,
                     )
 
-                flip = bound_range < theta_rows
+                flip = bound_range < theta_piv
                 s = lax.cond(flip, do_flip, do_pivot, s)
                 return s._replace(degen_count=degen_count, bland=bland)
 
-            return lax.cond(jnp.isinf(theta), unbounded, step, s)
+            can_step = jnp.isfinite(jnp.minimum(theta_max, bound_range))
+            return lax.cond(can_step, step, unbounded, s)
 
         s = lax.cond(has_entering, iterate, terminal, s)
         return s._replace(it=s.it + 1)

@@ -33,14 +33,22 @@ class SolverConfig:
 
     # Dual feasibility: reduced costs within [-eps_dual, eps_dual] count as 0.
     eps_dual: float = 1e-7
-    # Minimum acceptable pivot magnitude in the ratio test.
-    eps_pivot: float = 1e-9
-    # Absolute tie tolerance when choosing the leaving row.
+    # Minimum acceptable pivot magnitude in the ratio test (data is
+    # equilibrated to O(1) entries, so this is effectively relative).
+    eps_pivot: float = 1e-7
+    # Absolute tie tolerance when choosing the leaving row (Bland mode).
     eps_ratio: float = 1e-9
+    # Harris ratio test: bound violation allowed in pass 1 while searching
+    # for a large pivot (tiny infeasibilities are cleaned up at the next
+    # refactorization).
+    harris_delta: float = 1e-8
     # Phase-1 infeasibility threshold: artificial mass below this is "zero".
     eps_feas: float = 1e-7
     # Steps smaller than this count as degenerate.
     eps_zero: float = 1e-11
+    # A Gauss-Jordan pivot below this at refactorization marks the basis as
+    # numerically singular and triggers a basis repair.
+    singular_tol: float = 1e-9
 
     # Switch to Bland's rule after this many consecutive degenerate pivots
     # (anti-cycling; the reference relies on Bland tie-breaking plus exact
