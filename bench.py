@@ -1,0 +1,93 @@
+"""Benchmark: Netlib suite wall-clock + simplex iterations/s on device.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no throughput numbers (BASELINE.md: "no benches/
+dir"), and cannot even solve the larger configs in exact arithmetic, so
+``vs_baseline`` is anchored to the round-1 measurement of this framework
+itself (value / BASELINE_ITERS_PER_S); the capability story vs the
+reference is the suite composition: it includes instances the reference
+tags "too computationally intensive".
+
+Usage: python bench.py [--quick] [--suite small|full]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+SUITE_SMALL = [
+    "AFIRO", "SC50A", "SC50B", "KB2", "SC105", "BLEND", "SHARE2B",
+    "ADLITTLE", "SC205", "RECIPELP", "LOTFI", "STOCFOR1", "SCAGR7",
+    "BOEING2", "SHARE1B", "VTP-BASE", "BORE3D",
+]
+# adds instances beyond the reference's exact-arithmetic ceiling
+SUITE_FULL = SUITE_SMALL + ["SCORPION", "25FV47"]
+
+# round-1 calibration (single TPU v5e chip, suite=small); see BENCH_r1.json
+BASELINE_ITERS_PER_S = 130.0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--suite", choices=["small", "full"], default="small")
+    ap.add_argument("--quick", action="store_true", help="3 instances only")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    import relp_tpu  # noqa: F401
+    from relp_tpu.api import solve
+    from relp_tpu.model.elements import LinearProgramType
+    from relp_tpu.utils.config import SolverConfig
+
+    names = SUITE_FULL if args.suite == "full" else SUITE_SMALL
+    if args.quick:
+        names = names[:3]
+    config = SolverConfig()
+    base = "/root/reference/tests/netlib/problem_files"
+
+    # warmup pass: populate the jit cache for every padded shape bucket
+    for name in names:
+        solve(f"{base}/{name}.SIF", config)
+
+    total_wall = 0.0
+    total_iters = 0
+    solved = 0
+    for name in names:
+        t0 = time.perf_counter()
+        res = solve(f"{base}/{name}.SIF", config)
+        dt = time.perf_counter() - t0
+        ok = res.kind is LinearProgramType.FINITE_OPTIMUM
+        iters = res.simplex.iterations if res.simplex else 0
+        total_wall += dt
+        total_iters += iters
+        solved += int(ok)
+        if args.verbose:
+            print(
+                f"# {name}: {res.kind.value} iters={iters} wall={dt:.3f}s",
+                file=sys.stderr,
+            )
+
+    iters_per_s = total_iters / max(total_wall, 1e-9)
+    print(
+        json.dumps(
+            {
+                "metric": f"netlib_{args.suite}_iters_per_s",
+                "value": round(iters_per_s, 2),
+                "unit": "simplex iterations/s",
+                "vs_baseline": round(iters_per_s / BASELINE_ITERS_PER_S, 3),
+                "solved": f"{solved}/{len(names)}",
+                "total_wall_s": round(total_wall, 3),
+                "total_iters": total_iters,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

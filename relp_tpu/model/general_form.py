@@ -157,7 +157,7 @@ class GeneralForm:
         def visit(node: str) -> bool:
             color[node] = GRAY
             entry = self.removed_variables.get(node)
-            if isinstance(entry, LinearCombination):
+            if isinstance(entry, LinearCombination) or hasattr(entry, "terms"):
                 for dep, _ in entry.terms:
                     c = color.get(dep, WHITE)
                     if c == GRAY:
@@ -189,6 +189,17 @@ class GeneralForm:
             entry = self.removed_variables[name]
             if isinstance(entry, LinearCombination):
                 v = entry.constant + sum(c * resolve(dep) for dep, c in entry.terms)
+            elif hasattr(entry, "coefficient"):  # SlackValue (presolve slack)
+                t = sum(c * resolve(dep) for dep, c in entry.terms)
+                a, bnd = (entry.row_lower - t) / entry.coefficient, (
+                    entry.row_upper - t
+                ) / entry.coefficient
+                lo, hi = (a, bnd) if a <= bnd else (bnd, a)
+                lo, hi = max(lo, entry.lower), min(hi, entry.upper)
+                if lo > hi:  # tolerance slack: pick midpoint of the conflict
+                    v = 0.5 * (lo + hi)
+                else:
+                    v = min(max(0.0, lo), hi)
             else:
                 v = float(entry)
             values[name] = v

@@ -49,6 +49,4 @@ def solve_batched(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int, mesh: Mesh 
             NamedSharding(mesh, P("batch", col_axis)),        # ub
         ]
         arrays = [jax.device_put(x, s) for x, s in zip(arrays, shardings)]
-        with jax.sharding.use_mesh(mesh):
-            return _solve_batch(*arrays, cfg=cfg, max_iter=max_iter)
     return _solve_batch(*arrays, cfg=cfg, max_iter=max_iter)

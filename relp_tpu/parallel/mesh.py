@@ -26,4 +26,11 @@ def make_solver_mesh(
         raise ValueError(
             f"mesh {batch}x{cols} does not cover {len(devices)} devices"
         )
-    return jax.make_mesh((batch, cols), ("batch", "cols"), devices=devices)
+    # Auto axes: shardings propagate through the solve by GSPMD inference
+    # (explicit sharding-in-types mode would demand per-op out_shardings).
+    return jax.make_mesh(
+        (batch, cols),
+        ("batch", "cols"),
+        devices=devices,
+        axis_types=(jax.sharding.AxisType.Auto,) * 2,
+    )

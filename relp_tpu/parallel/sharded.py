@@ -45,5 +45,6 @@ def solve_sharded(mesh: Mesh, A, b, c, lb, ub, cfg: SolverConfig, max_iter: int)
     if n % n_shards != 0:
         raise ValueError(f"column count {n} not divisible by 'cols' axis size {n_shards}")
     A, b, c, lb, ub = shard_inputs(mesh, A, b, c, lb, ub)
-    with jax.sharding.use_mesh(mesh):
-        return solve_core(A, b, c, lb, ub, cfg=cfg, max_iter=max_iter)
+    # input shardings propagate through the jitted while_loop via GSPMD;
+    # no mesh context needed
+    return solve_core(A, b, c, lb, ub, cfg=cfg, max_iter=max_iter)

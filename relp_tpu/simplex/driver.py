@@ -133,6 +133,13 @@ def solve_general_form(
     if trivially is not None:
         return GeneralFormResult(kind=trivially)
 
+    if config.presolve:
+        from relp_tpu.presolve.engine import presolve
+
+        outcome = presolve(general)
+        if outcome.status is not None:
+            return GeneralFormResult(kind=outcome.status)
+
     done = general.compute_solution_where_possible()
     if done is not None:
         return GeneralFormResult(kind=LinearProgramType.FINITE_OPTIMUM, solution=done)

@@ -62,6 +62,9 @@ class SolverConfig:
     # Apply geometric-mean equilibration scaling before solving.
     scale: bool = True
 
+    # Run the presolve framework before lowering to computational form.
+    presolve: bool = True
+
     # Pad row/column counts up to multiples of these (TPU tile alignment and
     # jit-cache bucketing).
     row_align: int = 8
