@@ -129,6 +129,12 @@ class Presolver:
         self.lb = np.array([v.lower for v in general.variables])
         self.ub = np.array([v.upper for v in general.variables])
         self.cost = np.array([v.cost for v in general.variables])
+        # minimization-sense costs drive direction decisions (empty columns)
+        from relp_tpu.model.elements import Objective
+
+        self.min_cost = (
+            -self.cost if general.objective is Objective.MAXIMIZE else self.cost
+        )
         self.fixed_cost = general.fixed_cost
         self.result = PresolveResult()
 
@@ -259,18 +265,19 @@ class Presolver:
         entries = list(self.col_entries(j))
         name = self.g.variables[j].name
         if len(entries) == 0:
-            # variable appears only in the objective
-            c = self.cost[j]
-            if c > 0:
+            # variable appears only in the objective (direction decided in
+            # minimization sense; recorded cost stays in the original sense)
+            cmin = self.min_cost[j]
+            if cmin > 0:
                 v = self.lb[j]
-            elif c < 0:
+            elif cmin < 0:
                 v = self.ub[j]
             else:
                 v = min(max(0.0, self.lb[j]), self.ub[j])
             if not math.isfinite(v):
                 self.result.status = LinearProgramType.UNBOUNDED
                 return
-            self.fixed_cost += c * v
+            self.fixed_cost += self.cost[j] * v
             self.g.removed_variables[name] = v
             self._deactivate_col(j)
             return

@@ -75,6 +75,8 @@ class SolveOutput(NamedTuple):
     basis: jax.Array    # i32[m]
     vstat: jax.Array    # i32[n+m]
     art_inf: jax.Array  # f64 — residual artificial mass (diagnostic)
+    pi: jax.Array       # f64[m] — duals (phase-2 simplex multipliers)
+    obj: jax.Array      # f64 — c @ x in the solver's (scaled, min) space
 
 
 def _nonbasic_values(vstat, lb_tot, ub_tot):
@@ -85,11 +87,19 @@ def _nonbasic_values(vstat, lb_tot, ub_tot):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_iter"))
-def solve_core(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int) -> SolveOutput:
+def solve_core(
+    A, b, c, lb, ub, cfg: SolverConfig, max_iter: int, basis0=None, vstat0=None
+) -> SolveOutput:
     """Solve  min c@x  s.t.  A@x == b, lb <= x <= ub  (all float64, padded).
 
     Padded columns must have lb == ub == 0 and c == 0; padded rows must be
     zero in ``A`` with ``b == 0`` (their artificials stay basic at level 0).
+
+    Warm start (the reference's ``FullInitialBasis``/``IM::from_basis`` path,
+    two_phase/mod.rs:82-113, carry/mod.rs:428-463): pass ``basis0`` (i32[m],
+    structural column indices) and ``vstat0`` (i32[n] statuses).  The basis
+    inverse is refactorized from the given columns; a singular warm basis
+    falls back to a phase-1 repair automatically.
     """
     m, n = A.shape
     f = A.dtype
@@ -101,32 +111,54 @@ def solve_core(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int) -> SolveOutput
     can_enter = (lb < ub)  # fixed + padded columns never enter
     col_ids = jnp.arange(n)
 
-    # ---- initial state: all-artificial basis (reference `Fully` kind) ----
-    finite_lb = jnp.isfinite(lb)
-    finite_ub = jnp.isfinite(ub)
-    vstat0_n = jnp.where(
-        lb == ub,
-        st.NB_FIXED,
-        jnp.where(finite_lb, st.NB_LOWER, jnp.where(finite_ub, st.NB_UPPER, st.NB_FREE)),
-    )
-    vstat0 = jnp.concatenate([vstat0_n, jnp.full(m, st.BASIC, jnp.int32)]).astype(jnp.int32)
-    x0 = _nonbasic_values(vstat0[:n], lb, ub)
-    r0 = b - A @ x0
-    art_sign = jnp.where(r0 >= 0, 1.0, -1.0).astype(f)
-    state0 = State(
-        basis=n + jnp.arange(m, dtype=jnp.int32),
-        vstat=vstat0,
-        xB=jnp.abs(r0),
-        Binv=jnp.diag(art_sign),  # diag(±1) is its own inverse
-        art_sign=art_sign,
-        phase=jnp.int32(1),
-        status=jnp.int32(st.RUNNING),
-        it=jnp.int32(0),
-        since_refactor=jnp.int32(0),
-        degen_count=jnp.int32(0),
-        bland=jnp.bool_(cfg.pricing == "bland"),
-        repairs=jnp.int32(0),
-    )
+    if basis0 is None:
+        # ---- cold start: all-artificial basis (reference `Fully` kind) ----
+        finite_lb = jnp.isfinite(lb)
+        finite_ub = jnp.isfinite(ub)
+        vstat0_n = jnp.where(
+            lb == ub,
+            st.NB_FIXED,
+            jnp.where(finite_lb, st.NB_LOWER, jnp.where(finite_ub, st.NB_UPPER, st.NB_FREE)),
+        )
+        vstat_full = jnp.concatenate(
+            [vstat0_n, jnp.full(m, st.BASIC, jnp.int32)]
+        ).astype(jnp.int32)
+        x0 = _nonbasic_values(vstat_full[:n], lb, ub)
+        r0 = b - A @ x0
+        art_sign = jnp.where(r0 >= 0, 1.0, -1.0).astype(f)
+        state0 = State(
+            basis=n + jnp.arange(m, dtype=jnp.int32),
+            vstat=vstat_full,
+            xB=jnp.abs(r0),
+            Binv=jnp.diag(art_sign),  # diag(±1) is its own inverse
+            art_sign=art_sign,
+            phase=jnp.int32(1),
+            status=jnp.int32(st.RUNNING),
+            it=jnp.int32(0),
+            since_refactor=jnp.int32(0),
+            degen_count=jnp.int32(0),
+            bland=jnp.bool_(cfg.pricing == "bland"),
+            repairs=jnp.int32(0),
+        )
+    else:
+        # ---- warm start from a caller-provided structural basis ----
+        vstat_full = jnp.concatenate(
+            [vstat0.astype(jnp.int32), jnp.full(m, st.NB_LOWER, jnp.int32)]
+        )
+        state0 = State(
+            basis=basis0.astype(jnp.int32),
+            vstat=vstat_full,
+            xB=jnp.zeros(m, f),
+            Binv=jnp.eye(m, dtype=f),  # placeholder; refactor fires first
+            art_sign=jnp.ones(m, f),
+            phase=jnp.int32(1),  # transition check flips to 2 immediately
+            status=jnp.int32(st.RUNNING),
+            it=jnp.int32(0),
+            since_refactor=jnp.int32(cfg.refactor_period),  # force refactor
+            degen_count=jnp.int32(0),
+            bland=jnp.bool_(cfg.pricing == "bland"),
+            repairs=jnp.int32(0),
+        )
 
     def art_mass(s: State):
         return jnp.sum(jnp.where(s.basis >= n, jnp.abs(s.xB), 0.0))
@@ -377,6 +409,11 @@ def solve_core(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int) -> SolveOutput
     x_pad = x_pad.at[target].set(jnp.where(final.basis < n, final.xB, 0.0))
     x = x_pad[:n]
 
+    cB2 = jnp.where(
+        final.basis >= n, 0.0, jnp.take(c, jnp.clip(final.basis, 0, n - 1))
+    )
+    pi = cB2 @ final.Binv
+
     return SolveOutput(
         x=x,
         status=final.status,
@@ -385,4 +422,6 @@ def solve_core(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int) -> SolveOutput
         basis=final.basis,
         vstat=final.vstat,
         art_inf=art_mass(final),
+        pi=pi,
+        obj=c @ x,
     )
