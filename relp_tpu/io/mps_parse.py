@@ -29,7 +29,7 @@ from relp_tpu.io.mps_model import (
     MpsRhs,
     MpsRow,
 )
-from relp_tpu.io.numbers import parse_float
+from relp_tpu.io.numbers import parse_number
 from relp_tpu.model.elements import ConstraintRelation, Objective, VariableType
 
 SECTIONS = ("NAME", "OBJSENSE", "ROWS", "COLUMNS", "RHS", "RANGES", "BOUNDS", "ENDATA")
@@ -79,9 +79,14 @@ class FixedFields:
         return out
 
 
-def parse(text: str, fixed: bool = False) -> MPS:
+def parse(text: str, fixed: bool = False, exact: bool = False) -> MPS:
     """Parse MPS text into an :class:`MPS` (reference mps::parse /
-    mps::parse_fixed, io/mps/mod.rs:36-60)."""
+    mps::parse_fixed, io/mps/mod.rs:36-60).
+
+    ``exact=True`` parses numbers into ``fractions.Fraction`` (the
+    reference's exact decimal parse, io/mps/number/parse.rs:11-66) for the
+    CPU-side exact verifier.
+    """
     retriever = FixedFields if fixed else FreeFields
     lines = _lines(text)
 
@@ -172,7 +177,7 @@ def parse(text: str, fixed: bool = False) -> MPS:
             columns.append(MpsColumn(col_name, active_type))
         for k in range(1, len(f), 2):
             row_name, value_text = f[k], f[k + 1]
-            value = parse_float(value_text)
+            value = parse_number(value_text, exact)
             if row_name == cost_row_name:
                 cost_values.append((j, value))
             elif row_name in row_index:
@@ -200,14 +205,15 @@ def parse(text: str, fixed: bool = False) -> MPS:
             section, objective_constant = _parse_value_section(
                 lines, retriever, row_index, rhss, MpsRhs,
                 ("RANGES", "BOUNDS", "ENDATA"), cost_row_name, objective_constant,
+                exact,
             )
         elif section == "RANGES":
             section, objective_constant = _parse_value_section(
                 lines, retriever, row_index, ranges, MpsRange,
-                ("BOUNDS", "ENDATA"), None, objective_constant,
+                ("BOUNDS", "ENDATA"), None, objective_constant, exact,
             )
         elif section == "BOUNDS":
-            section = _parse_bounds_section(lines, retriever, col_index, bounds)
+            section = _parse_bounds_section(lines, retriever, col_index, bounds, exact)
         else:  # pragma: no cover
             raise ParseError(f"Unhandled section {section!r}")
 
@@ -242,7 +248,8 @@ def _expect_section(line: str, allowed: Tuple[str, ...], loc) -> str:
 
 
 def _parse_value_section(lines, retriever, row_index, collector, cls,
-                         next_sections, cost_row_name, objective_constant):
+                         next_sections, cost_row_name, objective_constant,
+                         exact=False):
     """Shared RHS/RANGES parsing (reference parse_optional_section,
     parse/mod.rs:535+).  Groups by set name; values attach to rows."""
     current = None
@@ -262,7 +269,7 @@ def _parse_value_section(lines, retriever, row_index, collector, cls,
             collector.append(current)
         for k in range(0, len(pairs), 2):
             row_name, value_text = pairs[k], pairs[k + 1]
-            value = parse_float(value_text)
+            value = parse_number(value_text, exact)
             if row_name in row_index:
                 current.values.append((row_index[row_name], value))
             elif cost_row_name is not None and row_name == cost_row_name:
@@ -273,7 +280,7 @@ def _parse_value_section(lines, retriever, row_index, collector, cls,
     return None, objective_constant
 
 
-def _parse_bounds_section(lines, retriever, col_index, bounds: List[MpsBound]):
+def _parse_bounds_section(lines, retriever, col_index, bounds: List[MpsBound], exact=False):
     current: Optional[MpsBound] = None
     for number, line in lines:
         if _is_section_header(line):
@@ -292,7 +299,7 @@ def _parse_bounds_section(lines, retriever, col_index, bounds: List[MpsBound]):
                 set_name, col_name, value_text = f[1], f[2], f[3]
             else:
                 set_name, col_name, value_text = "", f[1], f[2]
-            value = parse_float(value_text)
+            value = parse_number(value_text, exact)
         else:
             # FR/MI/PL/BV: value field optional and ignored
             set_name, col_name = f[1], f[2]
@@ -308,9 +315,9 @@ def _parse_bounds_section(lines, retriever, col_index, bounds: List[MpsBound]):
     return None
 
 
-def parse_free(text: str) -> MPS:
-    return parse(text, fixed=False)
+def parse_free(text: str, exact: bool = False) -> MPS:
+    return parse(text, fixed=False, exact=exact)
 
 
-def parse_fixed(text: str) -> MPS:
-    return parse(text, fixed=True)
+def parse_fixed(text: str, exact: bool = False) -> MPS:
+    return parse(text, fixed=True, exact=exact)

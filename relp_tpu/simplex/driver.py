@@ -12,6 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, Optional
 
+import jax
 import numpy as np
 
 from relp_tpu.model.computational_form import ComputationalForm
@@ -32,6 +33,8 @@ class SimplexResult:
     x_structural: Optional[np.ndarray] = None  # original units, structural columns
     iterations: int = 0
     art_residual: float = 0.0
+    metrics: Optional["SolveMetrics"] = None
+    duals: Optional[np.ndarray] = None  # row duals in scaled space
 
     @property
     def is_optimal(self) -> bool:
@@ -68,14 +71,32 @@ def solve_computational_form(
     ub[:n] = cf.ub
 
     max_iter = config.resolve_max_iter(m, n)
-    out = solve_core(A, b, c, lb, ub, cfg=config, max_iter=max_iter)
+    from relp_tpu.utils.metrics import SolveMetrics, Timer
+
+    with Timer() as t:
+        out = solve_core(A, b, c, lb, ub, cfg=config, max_iter=max_iter)
+        out = jax.block_until_ready(out)
 
     status = int(out.status)
     kind = st.STATUS_TO_TYPE[status]
+    metrics = SolveMetrics(
+        status=kind.value,
+        iterations=int(out.it),
+        wall_s=t.elapsed,
+        m=m,
+        n=n,
+        m_padded=m_pad,
+        n_padded=n_pad,
+        art_residual=float(out.art_inf),
+        phase=int(out.phase),
+    )
+    metrics.emit()
     result = SimplexResult(
         kind=kind,
         iterations=int(out.it),
         art_residual=float(out.art_inf),
+        metrics=metrics,
+        duals=np.asarray(out.pi)[:m],
     )
     if kind is LinearProgramType.FINITE_OPTIMUM:
         x_scaled = np.asarray(out.x)[:n]

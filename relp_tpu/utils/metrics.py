@@ -1,0 +1,73 @@
+"""Observability: timers, structured per-solve metrics, profiler hooks.
+
+The reference has no tracing/metrics at all (SURVEY §5: "absent... only
+println! in the CLI"); this is a new first-class subsystem for the TPU
+build: every solve produces a :class:`SolveMetrics` record, optional
+structured logging is enabled with ``RELP_TPU_LOG=1``, and
+:func:`device_trace` wraps ``jax.profiler`` for Perfetto/XPlane dumps.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import logging
+import os
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Optional
+
+logger = logging.getLogger("relp_tpu")
+if os.environ.get("RELP_TPU_LOG"):
+    logging.basicConfig(level=logging.INFO, format="%(name)s %(message)s")
+
+
+@dataclass
+class SolveMetrics:
+    """One device solve's worth of counters."""
+
+    status: str = ""
+    iterations: int = 0
+    wall_s: float = 0.0
+    m: int = 0
+    n: int = 0
+    m_padded: int = 0
+    n_padded: int = 0
+    art_residual: float = 0.0
+    phase: int = 0
+
+    @property
+    def iters_per_s(self) -> float:
+        return self.iterations / self.wall_s if self.wall_s > 0 else 0.0
+
+    def emit(self) -> None:
+        if logger.isEnabledFor(logging.INFO):
+            payload = asdict(self)
+            payload["iters_per_s"] = round(self.iters_per_s, 2)
+            logger.info("solve %s", json.dumps(payload))
+
+
+class Timer:
+    """Wall-clock context manager: ``with Timer() as t: ...; t.elapsed``."""
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        self.elapsed = 0.0
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed = time.perf_counter() - self._t0
+        return False
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: Optional[str] = None):
+    """Profile the enclosed device work with jax.profiler (Perfetto/XPlane
+    dump under ``log_dir``); no-op when log_dir is falsy."""
+    if not log_dir:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(log_dir):
+        yield
