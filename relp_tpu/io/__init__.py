@@ -19,17 +19,25 @@ from relp_tpu.model.general_form import GeneralForm
 
 
 def import_mps(path: Union[str, os.PathLike]) -> MPS:
-    """Read a problem file into an MPS structure (not yet a GeneralForm)."""
+    """Read a problem file into an MPS structure (not yet a GeneralForm).
+
+    Uses the native C++ scanner when available (differentially tested
+    against the Python parser); set RELP_TPU_NO_NATIVE=1 to force Python.
+    """
     p = Path(path)
     ext = p.suffix.lower()
+    if ext not in (".mps", ".sif"):
+        raise FileExtensionError(
+            f"Could not import file with extension {ext!r}; expected .mps or .sif"
+        )
+    fixed = ext == ".sif"
+    if not os.environ.get("RELP_TPU_NO_NATIVE"):
+        from relp_tpu.io import native
+
+        if native.native_available():
+            return native.parse_file_native(str(p), fixed)
     text = p.read_text()
-    if ext == ".mps":
-        return parse_free(text)
-    if ext == ".sif":
-        return parse_fixed(text)
-    raise FileExtensionError(
-        f"Could not import file with extension {ext!r}; expected .mps or .sif"
-    )
+    return parse_fixed(text) if fixed else parse_free(text)
 
 
 def import_lp(path: Union[str, os.PathLike]) -> GeneralForm:

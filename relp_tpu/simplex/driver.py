@@ -45,6 +45,20 @@ def _round_up(x: int, mult: int) -> int:
     return ((x + mult - 1) // mult) * mult if x > 0 else mult
 
 
+def _bucket(x: int, floor: int) -> int:
+    """Geometric (power-of-two) shape bucketing above ``floor``.
+
+    Each distinct padded shape costs a full XLA compile (minutes through the
+    TPU remote-compile path), so problems share programs: the whole small
+    Netlib set lands in one or two buckets.  The TPU analogue of the
+    reference compiling one binary for all problem sizes.
+    """
+    size = floor
+    while size < x:
+        size *= 2
+    return size
+
+
 def solve_computational_form(
     cf: ComputationalForm, config: SolverConfig = DEFAULT_CONFIG
 ) -> SimplexResult:
@@ -56,8 +70,12 @@ def solve_computational_form(
     if m == 0 or n == 0:
         return _solve_trivial(cf)
 
-    m_pad = _round_up(m, config.row_align)
-    n_pad = _round_up(n, config.col_align)
+    if config.bucket_shapes:
+        m_pad = _bucket(m, config.row_align * 8)
+        n_pad = _bucket(n, config.col_align * 2)
+    else:
+        m_pad = _round_up(m, config.row_align)
+        n_pad = _round_up(n, config.col_align)
 
     A = np.zeros((m_pad, n_pad), dtype=np.float64)
     A[:m, :n] = cf.A

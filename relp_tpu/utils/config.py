@@ -69,6 +69,10 @@ class SolverConfig:
     # jit-cache bucketing).
     row_align: int = 8
     col_align: int = 128
+    # Pad shapes to powers of two (floors row_align*8 / col_align*2) so many
+    # problems share one compiled program; each distinct shape costs a full
+    # XLA compile.
+    bucket_shapes: bool = True
 
     def resolve_max_iter(self, m: int, n: int) -> int:
         if self.max_iter > 0:
