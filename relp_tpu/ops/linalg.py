@@ -59,6 +59,45 @@ def gauss_jordan_inverse(B: jax.Array, tiny: float = 1e-300):
     return M[:, m:], min_piv
 
 
+def newton_refined_inverse(B: jax.Array, refine_steps: int = 3):
+    """MXU-friendly f64 inverse: f32 LU inverse seed + Newton-Schulz refinement.
+
+    XLA's LuDecomposition is f32-only on TPU; a f32 inverse seed ``X₀``
+    refined by ``X ← X(2I − BX)`` (quadratic convergence) reaches f64
+    accuracy in 2-3 iterations of pure matmuls — far fewer sequential steps
+    than Gauss-Jordan's m-step elimination.  Returns ``(X, residual)`` with
+    ``residual = max|I − BX|``; the caller falls back to
+    :func:`gauss_jordan_inverse` when the seed was too inaccurate
+    (ill-conditioned B) or singular (residual NaN).
+    """
+    m = B.shape[0]
+    eye = jnp.eye(m, dtype=B.dtype)
+    X = jnp.linalg.inv(B.astype(jnp.float32)).astype(B.dtype)
+    for _ in range(refine_steps):
+        X = X @ (2.0 * eye - B @ X)
+    residual = jnp.max(jnp.abs(eye - B @ X))
+    return X, residual
+
+
+def robust_inverse(B: jax.Array, newton_tol: float = 1e-9):
+    """Newton-refined inverse with Gauss-Jordan fallback.
+
+    Returns ``(B_inv, min_pivot_estimate)`` where the pivot estimate is +inf
+    on the (healthy) Newton path — singularity is then judged by the caller
+    via the GJ fallback's true minimal pivot.
+    """
+    X, residual = newton_refined_inverse(B)
+    healthy = jnp.isfinite(residual) & (residual < newton_tol)
+
+    def use_newton(_):
+        return X, jnp.array(jnp.inf, B.dtype)
+
+    def use_gj(_):
+        return gauss_jordan_inverse(B)
+
+    return lax.cond(healthy, use_newton, use_gj, None)
+
+
 def rank_one_basis_update(Binv: jax.Array, u: jax.Array, r: jax.Array) -> jax.Array:
     """Product-form update of the explicit inverse after a pivot.
 

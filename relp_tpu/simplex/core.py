@@ -45,7 +45,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from relp_tpu.ops.linalg import gauss_jordan_inverse, rank_one_basis_update
+from relp_tpu.ops.linalg import (
+    gauss_jordan_inverse,
+    rank_one_basis_update,
+    robust_inverse,
+)
 from relp_tpu.simplex import status as st
 from relp_tpu.utils.config import SolverConfig
 
@@ -208,7 +212,10 @@ def solve_core(
         k = jnp.clip(s.basis - n, 0, m - 1)
         art_cols = (jnp.arange(m)[:, None] == k[None, :]) * s.art_sign[k][None, :]
         B = jnp.where(is_art[None, :], art_cols, struct_cols)
-        Binv, min_piv = gauss_jordan_inverse(B)
+        if cfg.newton_refactor:
+            Binv, min_piv = robust_inverse(B)
+        else:
+            Binv, min_piv = gauss_jordan_inverse(B)
 
         def rebuild(s: State) -> State:
             nb = _nonbasic_values(s.vstat, lb_tot, ub_tot_p2)

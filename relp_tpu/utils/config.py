@@ -50,6 +50,11 @@ class SolverConfig:
     # numerically singular and triggers a basis repair.
     singular_tol: float = 1e-9
 
+    # Refactorize via f32 LU seed + f64 Newton-Schulz refinement (matmul
+    # heavy, MXU-friendly) with Gauss-Jordan as the ill-conditioned
+    # fallback; False forces plain Gauss-Jordan.
+    newton_refactor: bool = True
+
     # Switch to Bland's rule after this many consecutive degenerate pivots
     # (anti-cycling; the reference relies on Bland tie-breaking plus exact
     # arithmetic, tableau/mod.rs:221-247).
