@@ -28,8 +28,10 @@ SUITE_SMALL = [
 # adds instances beyond the reference's exact-arithmetic ceiling
 SUITE_FULL = SUITE_SMALL + ["SCORPION", "25FV47"]
 
-# round-1 calibration (single TPU v5e chip, suite=small); see BENCH_r1.json
-BASELINE_ITERS_PER_S = 130.0
+# round-1 calibration: 482.8 iters/s measured on a single TPU v5e chip,
+# suite=full (19/19 solved incl. 25FV47, which the reference cannot solve);
+# vs_baseline therefore tracks speedup over the round-1 engine.
+BASELINE_ITERS_PER_S = 482.8
 
 
 def main(argv=None) -> int:
