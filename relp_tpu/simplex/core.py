@@ -235,7 +235,7 @@ def solve_core(
         # has degraded (the exact-arithmetic reference can't hit this).  A
         # refactorization rebuilds from clean problem columns; if the state
         # is broken immediately after one, give up with NUMERICAL.
-        broken = ~jnp.isfinite(jnp.sum(s.xB))
+        broken = ~jnp.isfinite(jnp.sum(s.xB) + jnp.sum(s.Binv))
         s = s._replace(
             status=jnp.where(
                 broken & (s.since_refactor == 0), st.NUMERICAL, s.status
@@ -278,123 +278,142 @@ def solve_core(
         q = jnp.where(s.bland, q_bland, q_dantzig).astype(jnp.int32)
         has_entering = viol[q] > 0
 
-        def terminal(s: State) -> State:
-            # no improving column: optimal (phase 2) or infeasible (phase 1,
-            # since the transition check above didn't fire)
-            new_status = jnp.where(phase1, st.INFEASIBLE, st.OPTIMAL)
-            return s._replace(status=new_status.astype(jnp.int32))
+        # ---- straight-line iteration ----
+        # Terminal/unbounded statuses and the flip-vs-pivot update are all
+        # computed unconditionally and merged with selects: in the
+        # sequential hot loop a few redundant vector ops are far cheaper on
+        # TPU than lax.cond dispatch (the only remaining branch is the rare
+        # refactorization above).
+        t = jnp.where(
+            vs[q] == st.NB_UPPER,
+            -1.0,
+            jnp.where(vs[q] == st.NB_FREE, -jnp.sign(d[q]), 1.0),
+        )
+        a_q = jnp.take(A, q, axis=1)
+        u = s.Binv @ a_q       # FTRAN
+        ut = t * u
 
-        def iterate(s: State) -> State:
-            t = jnp.where(
-                vs[q] == st.NB_UPPER,
-                -1.0,
-                jnp.where(vs[q] == st.NB_FREE, -jnp.sign(d[q]), 1.0),
-            )
-            a_q = jnp.take(A, q, axis=1)
-            u = s.Binv @ a_q       # FTRAN
-            ut = t * u
+        k = s.basis
+        is_art_k = k >= n
+        lbk = jnp.take(lb_tot, k)
+        ubk = jnp.take(ub_tot_p2, k)
+        ubk = jnp.where(is_art_k & phase1, INF, ubk)  # artificials free upward in phase 1
 
-            k = s.basis
-            is_art_k = k >= n
-            lbk = jnp.take(lb_tot, k)
-            ubk = jnp.take(ub_tot_p2, k)
-            ubk = jnp.where(is_art_k & phase1, INF, ubk)  # artificials free upward in phase 1
+        # Harris two-pass ratio test: pass 1 finds the largest step that
+        # violates no basic bound by more than δ; pass 2 picks the
+        # largest-|pivot| row whose strict ratio fits within it.  This is
+        # the float-world replacement for the reference's exact ratio
+        # test with Bland tie-break (tableau/mod.rs:221-247): with exact
+        # arithmetic any minimal-ratio pivot is safe; with f64, choosing
+        # a large pivot among near-ties is what keeps B⁻¹ well-behaved.
+        delta = cfg.harris_delta
+        pos = ut > cfg.eps_pivot
+        neg = ut < -cfg.eps_pivot
+        strict = jnp.where(
+            pos,
+            (s.xB - lbk) / ut,
+            jnp.where(neg, (s.xB - ubk) / ut, INF),
+        )
+        strict = jnp.maximum(strict, 0.0)
+        relaxed = jnp.where(
+            pos,
+            (s.xB - lbk + delta) / ut,
+            jnp.where(neg, (s.xB - ubk - delta) / ut, INF),
+        )
+        relaxed = jnp.maximum(relaxed, 0.0)
+        theta_max = jnp.min(relaxed)
+        bound_range = ub[q] - lb[q]
+        start_val = jnp.where(
+            vs[q] == st.NB_UPPER, ub[q], jnp.where(vs[q] == st.NB_LOWER, lb[q], 0.0)
+        )
 
-            # Harris two-pass ratio test: pass 1 finds the largest step that
-            # violates no basic bound by more than δ; pass 2 picks the
-            # largest-|pivot| row whose strict ratio fits within it.  This is
-            # the float-world replacement for the reference's exact ratio
-            # test with Bland tie-break (tableau/mod.rs:221-247): with exact
-            # arithmetic any minimal-ratio pivot is safe; with f64, choosing
-            # a large pivot among near-ties is what keeps B⁻¹ well-behaved.
-            delta = cfg.harris_delta
-            pos = ut > cfg.eps_pivot
-            neg = ut < -cfg.eps_pivot
-            strict = jnp.where(
-                pos,
-                (s.xB - lbk) / ut,
-                jnp.where(neg, (s.xB - ubk) / ut, INF),
-            )
-            strict = jnp.maximum(strict, 0.0)
-            relaxed = jnp.where(
-                pos,
-                (s.xB - lbk + delta) / ut,
-                jnp.where(neg, (s.xB - ubk - delta) / ut, INF),
-            )
-            relaxed = jnp.maximum(relaxed, 0.0)
-            theta_max = jnp.min(relaxed)
-            bound_range = ub[q] - lb[q]
-            start_val = jnp.where(
-                vs[q] == st.NB_UPPER, ub[q], jnp.where(vs[q] == st.NB_LOWER, lb[q], 0.0)
-            )
+        # pass 2: leaving-row choice
+        elig = strict <= theta_max
+        r_stab = jnp.argmax(jnp.where(elig, jnp.abs(ut), -1.0))
+        # Bland mode: smallest basis index among minimal-ratio rows, but
+        # never on a pivot that is relatively tiny — strict Bland ignores
+        # magnitude, which is exactly what breeds singular bases in f64.
+        elig_b = strict <= jnp.min(strict) + cfg.eps_ratio
+        max_piv_b = jnp.max(jnp.where(elig_b, jnp.abs(ut), 0.0))
+        elig_b = elig_b & (jnp.abs(ut) >= 0.01 * max_piv_b)
+        r_bland = jnp.argmin(jnp.where(elig_b, k, n + m))
 
-            # pass 2: leaving-row choice
-            elig = strict <= theta_max
-            r_stab = jnp.argmax(jnp.where(elig, jnp.abs(ut), -1.0))
-            # Bland mode: smallest basis index among minimal-ratio rows, but
-            # never on a pivot that is relatively tiny — strict Bland ignores
-            # magnitude, which is exactly what breeds singular bases in f64.
-            elig_b = strict <= jnp.min(strict) + cfg.eps_ratio
-            max_piv_b = jnp.max(jnp.where(elig_b, jnp.abs(ut), 0.0))
-            elig_b = elig_b & (jnp.abs(ut) >= 0.01 * max_piv_b)
-            r_bland = jnp.argmin(jnp.where(elig_b, k, n + m))
+        r = jnp.where(s.bland, r_bland, r_stab).astype(jnp.int32)
+        theta_piv = strict[r]
+        theta = jnp.minimum(theta_piv, bound_range)
+        can_step = jnp.isfinite(theta)
+        flip = bound_range < theta_piv
 
-            def unbounded(s: State) -> State:
-                # phase 1 cannot be unbounded (objective >= 0); hitting this
-                # there means the inverse has degraded
-                new_status = jnp.where(phase1, st.NUMERICAL, st.UNBOUNDED)
-                return s._replace(status=new_status.astype(jnp.int32))
+        do_update = has_entering & can_step
+        is_pivot = do_update & ~flip
+        is_flip = do_update & flip
+        theta_safe = jnp.where(can_step, theta, 0.0)
 
-            def step(s: State) -> State:
-                r = jnp.where(s.bland, r_bland, r_stab).astype(jnp.int32)
-                theta_piv = strict[r]
-                theta = jnp.minimum(theta_piv, bound_range)
-                degen = theta <= cfg.eps_zero
-                degen_count = jnp.where(degen, s.degen_count + 1, 0).astype(jnp.int32)
-                # Bland's rule engages after a run of degenerate pivots and
-                # disengages as soon as a real step is taken again.
-                bland = jnp.where(
-                    degen, s.bland | (degen_count >= cfg.bland_trigger), False
-                )
-                if cfg.pricing == "bland":
-                    bland = jnp.bool_(True)
+        # candidate updates (computed unconditionally, selected below)
+        xB_moved = s.xB - theta_safe * ut
+        xB_piv = xB_moved.at[r].set(start_val + t * theta_safe)
+        p = u[r]
+        p_safe = jnp.where(jnp.abs(p) > 0, p, 1.0)
+        w = s.Binv[r] / p_safe
+        Binv_piv = (s.Binv - u[:, None] * w[None, :]).at[r].set(w)
 
-                def do_flip(s: State) -> State:
-                    new_vs = jnp.where(vs[q] == st.NB_LOWER, st.NB_UPPER, st.NB_LOWER)
-                    return s._replace(
-                        xB=s.xB - theta * ut,
-                        vstat=s.vstat.at[q].set(new_vs.astype(jnp.int32)),
-                    )
+        kr = k[r]
+        leave_stat = jnp.where(
+            jnp.take(lb_tot, kr) == jnp.take(ub_tot_p2, kr),
+            st.NB_FIXED,
+            jnp.where(ut[r] > 0, st.NB_LOWER, st.NB_UPPER),
+        )
+        flip_stat = jnp.where(vs[q] == st.NB_LOWER, st.NB_UPPER, st.NB_LOWER)
+        new_kr_stat = jnp.where(is_pivot, leave_stat, s.vstat[kr])
+        new_q_stat = jnp.where(
+            is_pivot, st.BASIC, jnp.where(is_flip, flip_stat, s.vstat[q])
+        )
+        vstat_new = (
+            s.vstat.at[kr].set(new_kr_stat.astype(jnp.int32))
+            .at[q].set(new_q_stat.astype(jnp.int32))
+        )
 
-                def do_pivot(s: State) -> State:
-                    kr = k[r]
-                    xB = s.xB - theta * ut
-                    xB = xB.at[r].set(start_val + t * theta)
-                    leave_stat = jnp.where(
-                        jnp.take(lb_tot, kr) == jnp.take(ub_tot_p2, kr),
-                        st.NB_FIXED,
-                        jnp.where(ut[r] > 0, st.NB_LOWER, st.NB_UPPER),
-                    )
-                    vstat = s.vstat.at[kr].set(leave_stat.astype(jnp.int32))
-                    vstat = vstat.at[q].set(st.BASIC)
-                    Binv = rank_one_basis_update(s.Binv, u, r)
-                    return s._replace(
-                        basis=s.basis.at[r].set(q),
-                        vstat=vstat,
-                        xB=xB,
-                        Binv=Binv,
-                        since_refactor=s.since_refactor + 1,
-                    )
+        xB_new = jnp.where(is_pivot, xB_piv, jnp.where(is_flip, xB_moved, s.xB))
+        Binv_new = jnp.where(is_pivot, Binv_piv, s.Binv)
+        basis_new = jnp.where(is_pivot, s.basis.at[r].set(q), s.basis)
 
-                flip = bound_range < theta_piv
-                s = lax.cond(flip, do_flip, do_pivot, s)
-                return s._replace(degen_count=degen_count, bland=bland)
+        degen = do_update & (theta_safe <= cfg.eps_zero)
+        degen_count = jnp.where(
+            degen, s.degen_count + 1, jnp.where(do_update, 0, s.degen_count)
+        ).astype(jnp.int32)
+        # Bland's rule engages after a run of degenerate pivots and
+        # disengages as soon as a real step is taken again.
+        bland_new = jnp.where(
+            do_update,
+            jnp.where(degen, s.bland | (degen_count >= cfg.bland_trigger), False),
+            s.bland,
+        )
+        if cfg.pricing == "bland":
+            bland_new = jnp.bool_(True)
 
-            can_step = jnp.isfinite(jnp.minimum(theta_max, bound_range))
-            return lax.cond(can_step, step, unbounded, s)
+        # status resolution: no improving column → optimal/infeasible;
+        # improving but no finite step → unbounded (phase 2) or degraded
+        # inverse (phase 1, whose objective is bounded below)
+        terminal_status = jnp.where(phase1, st.INFEASIBLE, st.OPTIMAL)
+        unb_status = jnp.where(phase1, st.NUMERICAL, st.UNBOUNDED)
+        status_new = jnp.where(
+            ~has_entering,
+            terminal_status,
+            jnp.where(~can_step, unb_status, s.status),
+        )
+        status_new = jnp.where(s.status != st.RUNNING, s.status, status_new)
 
-        s = lax.cond(has_entering, iterate, terminal, s)
-        return s._replace(it=s.it + 1)
+        return s._replace(
+            status=status_new.astype(jnp.int32),
+            xB=xB_new,
+            Binv=Binv_new,
+            basis=basis_new,
+            vstat=vstat_new,
+            degen_count=degen_count,
+            bland=bland_new,
+            since_refactor=(s.since_refactor + is_pivot.astype(jnp.int32)),
+            it=s.it + 1,
+        )
 
     def cond(s: State):
         return (s.status == st.RUNNING) & (s.it < max_iter)
