@@ -28,6 +28,11 @@ def main(argv=None) -> int:
     ap.add_argument("--pricing", choices=["dantzig", "bland"], default="dantzig")
     ap.add_argument("--refactor", type=int, default=64, help="refactorization period")
     ap.add_argument("-q", "--quiet", action="store_true", help="objective only")
+    ap.add_argument(
+        "--verify",
+        action="store_true",
+        help="certify the solution with the exact (rational) verifier",
+    )
     args = ap.parse_args(argv)
 
     config = SolverConfig(
@@ -57,6 +62,20 @@ def main(argv=None) -> int:
                 f"iters/s {res.simplex.iterations / max(dt, 1e-9):.1f}",
                 file=sys.stderr,
             )
+        if args.verify:
+            from relp_tpu.numerics.exact import ExactVerifier
+
+            check = ExactVerifier(args.problem_file).check(sol.as_dict())
+            ok = check.ok(tol=1e-6)
+            print(
+                f"exact check: {'OK' if ok else 'VIOLATED'}  "
+                f"obj {float(check.objective):.12g}  "
+                f"row_viol {float(check.max_row_violation):.3g}  "
+                f"bound_viol {float(check.max_bound_violation):.3g}",
+                file=sys.stderr,
+            )
+            if not ok:
+                return 3
         return 0
     print(f"result: {res.kind.value}")
     return 1

@@ -427,6 +427,22 @@ def solve_core(
     # clean final refactor: crisp Binv and freshly-computed xB for extraction
     final = refactor(final)
 
+    # one step of iterative refinement on the basic solution (SURVEY §2.1
+    # TPU plan: f64 + refinement replaces exact arithmetic):
+    # xB += B⁻¹ (r − B xB) with B reconstructed from clean problem columns
+    is_art_f = final.basis >= n
+    k_f = jnp.clip(final.basis - n, 0, m - 1)
+    B_f = jnp.where(
+        is_art_f[None, :],
+        (jnp.arange(m)[:, None] == k_f[None, :]) * final.art_sign[k_f][None, :],
+        jnp.take(A, jnp.clip(final.basis, 0, n - 1), axis=1),
+    )
+    nb_f = _nonbasic_values(final.vstat, lb_tot, ub_tot_p2)
+    nb_f = jnp.where(final.vstat == st.BASIC, 0.0, nb_f)
+    r_f = b - A @ nb_f[:n]
+    resid = r_f - B_f @ final.xB
+    final = final._replace(xB=final.xB + final.Binv @ resid)
+
     # ---- extract the solution vector ----
     nb = _nonbasic_values(final.vstat, lb_tot, ub_tot_p2)
     nb = jnp.where(final.vstat == st.BASIC, 0.0, nb)

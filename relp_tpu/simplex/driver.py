@@ -204,3 +204,99 @@ class GeneralFormResult:
     kind: LinearProgramType
     solution: Optional[Solution] = None
     simplex: Optional[SimplexResult] = None
+
+
+def solve_general_forms_batched(
+    generals, config: SolverConfig = DEFAULT_CONFIG
+) -> "list[GeneralFormResult]":
+    """Solve a fleet of LPs in one vmapped device program (the
+    data-parallel analogue; no reference counterpart — SURVEY §2.8).
+
+    Problems are presolved individually on host, lowered, padded to a
+    common shape bucket, stacked, and solved by ``jax.vmap`` over the
+    scenario axis (sharded over the 'batch' mesh axis when a mesh is
+    configured).  Problems that presolve resolves completely (or proves
+    infeasible/unbounded) skip the device entirely.
+    """
+    from relp_tpu.model.computational_form import build_computational_form
+    from relp_tpu.parallel.batched import solve_batched
+
+    results: "list[Optional[GeneralFormResult]]" = [None] * len(generals)
+    device_jobs = []  # (index, general, cf)
+    for idx, general in enumerate(generals):
+        trivially = general.trivial_infeasibility()
+        if trivially is not None:
+            results[idx] = GeneralFormResult(kind=trivially)
+            continue
+        if config.presolve:
+            from relp_tpu.presolve.engine import presolve
+
+            outcome = presolve(general)
+            if outcome.status is not None:
+                results[idx] = GeneralFormResult(kind=outcome.status)
+                continue
+        done = general.compute_solution_where_possible()
+        if done is not None:
+            results[idx] = GeneralFormResult(
+                kind=LinearProgramType.FINITE_OPTIMUM, solution=done
+            )
+            continue
+        cf = build_computational_form(general, scale=config.scale)
+        if cf.m == 0 or cf.n == 0:
+            res = _solve_trivial(cf)
+            results[idx] = _finish_general(general, cf, res)
+            continue
+        device_jobs.append((idx, general, cf))
+
+    if device_jobs:
+        m_max = max(cf.m for _, _, cf in device_jobs)
+        n_max = max(cf.n for _, _, cf in device_jobs)
+        if config.bucket_shapes:
+            m_pad = _bucket(m_max, config.row_align * 8)
+            n_pad = _bucket(n_max, config.col_align * 2)
+        else:
+            m_pad = _round_up(m_max, config.row_align)
+            n_pad = _round_up(n_max, config.col_align)
+        batch = len(device_jobs)
+        A = np.zeros((batch, m_pad, n_pad))
+        b = np.zeros((batch, m_pad))
+        c = np.zeros((batch, n_pad))
+        lb = np.zeros((batch, n_pad))
+        ub = np.zeros((batch, n_pad))
+        for s_i, (_, _, cf) in enumerate(device_jobs):
+            A[s_i, : cf.m, : cf.n] = cf.A
+            b[s_i, : cf.m] = cf.b
+            c[s_i, : cf.n] = cf.c
+            lb[s_i, : cf.n] = cf.lb
+            ub[s_i, : cf.n] = cf.ub
+        max_iter = config.resolve_max_iter(m_pad, n_pad)
+        outs = solve_batched(A, b, c, lb, ub, cfg=config, max_iter=max_iter)
+        for s_i, (idx, general, cf) in enumerate(device_jobs):
+            status = int(outs.status[s_i])
+            kind = st.STATUS_TO_TYPE[status]
+            res = SimplexResult(
+                kind=kind,
+                iterations=int(outs.it[s_i]),
+                art_residual=float(outs.art_inf[s_i]),
+                duals=np.asarray(outs.pi[s_i])[: cf.m],
+            )
+            if kind is LinearProgramType.FINITE_OPTIMUM:
+                x_scaled = np.asarray(outs.x[s_i])[: cf.n]
+                res.objective = cf.objective_of(x_scaled)
+                res.x_structural = cf.structural_values(x_scaled)
+            results[idx] = _finish_general(general, cf, res)
+
+    return results  # type: ignore[return-value]
+
+
+def _finish_general(general: GeneralForm, cf, res: SimplexResult) -> GeneralFormResult:
+    if not res.is_optimal:
+        return GeneralFormResult(kind=res.kind, simplex=res)
+    reduced = {
+        v.name: float(res.x_structural[j]) for j, v in enumerate(general.variables)
+    }
+    solution = general.compute_full_solution(reduced)
+    solution.objective_value = res.objective
+    return GeneralFormResult(
+        kind=LinearProgramType.FINITE_OPTIMUM, solution=solution, simplex=res
+    )
