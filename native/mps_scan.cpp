@@ -178,6 +178,7 @@ struct Parser {
         if (head == "RANGES") { sec = RANGES; continue; }
         if (head == "BOUNDS") { sec = BOUNDS; continue; }
         if (head == "ENDATA") { sec = DONE; break; }
+        if (head == "OBJECT") { sec = DONE; break; }  // SIF "OBJECT BOUND" trailer
         return fail(lineno, "Unknown section header " + head);
       }
 

@@ -242,6 +242,10 @@ def _parse_objsense(text: str, loc) -> Objective:
 
 def _expect_section(line: str, allowed: Tuple[str, ...], loc) -> str:
     head = line.split()[0].upper()
+    if head == "OBJECT":
+        # SIF "OBJECT BOUND" metadata section: always trailing, solution
+        # bounds in comments only — treat as end of data
+        return "ENDATA"
     if head not in allowed:
         raise ParseError(f"Unexpected section {head!r}; expected one of {allowed}", loc)
     return head
