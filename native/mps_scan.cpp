@@ -109,6 +109,8 @@ struct Parser {
   std::unordered_map<std::string, int32_t> col_index;
   std::string cost_row;
   bool have_cost_row = false;
+  // extra N rows: ignored free rows (GLPK-compatible superset)
+  std::unordered_map<std::string, char> free_rows;
 
   void fields(const char* line, size_t len, std::vector<std::string>* out) {
     if (fixed)
@@ -200,9 +202,12 @@ struct Parser {
           if (fs.size() < 2) return fail(lineno, "ROWS line needs type and name");
           char t = toupper((unsigned char)fs[0][0]);
           if (t == 'N') {
-            if (have_cost_row) return fail(lineno, "Second cost row detected");
-            cost_row = fs[1];
-            have_cost_row = true;
+            if (!have_cost_row) {
+              cost_row = fs[1];
+              have_cost_row = true;
+            } else {
+              free_rows[fs[1]] = 1;
+            }
           } else if (t == 'L' || t == 'E' || t == 'G') {
             if (row_index.count(fs[1]) || (have_cost_row && fs[1] == cost_row))
               return fail(lineno, "Duplicate row name " + fs[1]);
@@ -251,8 +256,10 @@ struct Parser {
               p->cost.push_back({cur_col, -1, v});
             } else {
               auto it = row_index.find(fs[k]);
-              if (it == row_index.end())
+              if (it == row_index.end()) {
+                if (free_rows.count(fs[k])) continue;  // ignored free row
                 return fail(lineno, "Row \"" + fs[k] + "\" not known");
+              }
               p->entries.push_back({cur_col, it->second, v});
             }
           }
@@ -285,6 +292,7 @@ struct Parser {
                 p->obj_constant = -v;
                 continue;
               }
+              if (free_rows.count(fs[k])) continue;  // ignored free row
               return fail(lineno, "Row \"" + fs[k] + "\" not known");
             }
             recs->push_back({gid, it->second, v});

@@ -141,17 +141,25 @@ def _compute_constraints(mps: MPS):
     m = len(mps.rows)
 
     # --- flatten + validate ranges ---
+    # Within one range set a duplicate row is inconsistent (reference
+    # compute_ranges, convert.rs:337); across *different* sets the first
+    # set's value wins (GLPK-style superset — the reference rejects).
     range_by_row: Dict[int, float] = {}
     for rng in mps.ranges:
+        seen_in_set: set = set()
         for i, r in rng.values:
-            if i in range_by_row:
+            if i in seen_in_set:
                 raise InconsistencyError("Only one range per row can be specified.")
-            range_by_row[i] = r
+            seen_in_set.add(i)
+            if i not in range_by_row:
+                range_by_row[i] = r
 
-    # rhs duplicates on ranged rows must agree
+    # rhs duplicates on ranged rows must agree (within the governing set)
     if range_by_row:
         seen: Dict[int, float] = {}
-        for rhs in mps.rhss:
+        for s_idx, rhs in enumerate(mps.rhss):
+            if s_idx > 0:
+                break  # later sets are alternative scenarios (see below)
             for i, v in rhs.values:
                 if i in range_by_row:
                     if i in seen and seen[i] != v:
@@ -161,12 +169,19 @@ def _compute_constraints(mps: MPS):
                     seen[i] = v
 
     # --- b assembly ---
+    # Duplicates *within* one rhs set follow the reference's merge rules
+    # (compute_b, convert.rs:444: E must agree, G takes max, L takes min);
+    # additional *sets* are alternative scenarios — the first set that
+    # touches a row wins (GLPK-style; the reference merges across sets and
+    # rejects scenario files like unicamp model_data_5).
     b_opt: List[Optional[float]] = [None] * m
-    for rhs in mps.rhss:
+    b_set: List[Optional[int]] = [None] * m
+    for s_idx, rhs in enumerate(mps.rhss):
         for i, v in rhs.values:
             if b_opt[i] is None:
                 b_opt[i] = v
-            else:
+                b_set[i] = s_idx
+            elif b_set[i] == s_idx:
                 kind = mps.rows[i].constraint_type
                 if kind is ConstraintRelation.EQUAL:
                     if b_opt[i] != v:
@@ -178,6 +193,7 @@ def _compute_constraints(mps: MPS):
                     b_opt[i] = max(b_opt[i], v)
                 else:
                     b_opt[i] = min(b_opt[i], v)
+            # else: later set, row already bound — ignore
 
     constraint_types: List[RangedConstraintRelation] = []
     b = np.zeros(m, dtype=np.float64)

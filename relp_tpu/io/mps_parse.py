@@ -119,6 +119,8 @@ def parse(text: str, fixed: bool = False, exact: bool = False) -> MPS:
 
     # --- ROWS ---
     cost_row_name: Optional[str] = None
+    free_rows: set = set()  # extra N rows: ignored (GLPK-compatible superset;
+    #                         the reference rejects a second cost row)
     rows: List[MpsRow] = []
     for number, line in lines:
         if _is_section_header(line):
@@ -130,9 +132,10 @@ def parse(text: str, fixed: bool = False, exact: bool = False) -> MPS:
         rtype = f[0][0].upper()
         name = f[1]
         if rtype == "N":
-            if cost_row_name is not None:
-                raise ParseError("Second cost row detected", (number, line))
-            cost_row_name = name
+            if cost_row_name is None:
+                cost_row_name = name
+            else:
+                free_rows.add(name)
         elif rtype in ("L", "E", "G"):
             rows.append(MpsRow(name, ConstraintRelation(rtype)))
         else:
@@ -182,6 +185,8 @@ def parse(text: str, fixed: bool = False, exact: bool = False) -> MPS:
                 cost_values.append((j, value))
             elif row_name in row_index:
                 columns[j].values.append((row_index[row_name], value))
+            elif row_name in free_rows:
+                pass  # coefficient on an ignored free row
             else:
                 raise InconsistencyError(f"Row {row_name!r} not known (line {number})")
 
@@ -205,12 +210,12 @@ def parse(text: str, fixed: bool = False, exact: bool = False) -> MPS:
             section, objective_constant = _parse_value_section(
                 lines, retriever, row_index, rhss, MpsRhs,
                 ("RANGES", "BOUNDS", "ENDATA"), cost_row_name, objective_constant,
-                exact,
+                exact, free_rows,
             )
         elif section == "RANGES":
             section, objective_constant = _parse_value_section(
                 lines, retriever, row_index, ranges, MpsRange,
-                ("BOUNDS", "ENDATA"), None, objective_constant, exact,
+                ("BOUNDS", "ENDATA"), None, objective_constant, exact, free_rows,
             )
         elif section == "BOUNDS":
             section = _parse_bounds_section(lines, retriever, col_index, bounds, exact)
@@ -253,7 +258,7 @@ def _expect_section(line: str, allowed: Tuple[str, ...], loc) -> str:
 
 def _parse_value_section(lines, retriever, row_index, collector, cls,
                          next_sections, cost_row_name, objective_constant,
-                         exact=False):
+                         exact=False, free_rows=frozenset()):
     """Shared RHS/RANGES parsing (reference parse_optional_section,
     parse/mod.rs:535+).  Groups by set name; values attach to rows."""
     current = None
@@ -279,6 +284,8 @@ def _parse_value_section(lines, retriever, row_index, collector, cls,
             elif cost_row_name is not None and row_name == cost_row_name:
                 # RHS on the objective row: objective constant (negated).
                 objective_constant = -value
+            elif row_name in free_rows:
+                pass  # value on an ignored free row
             else:
                 raise InconsistencyError(f"Row {row_name!r} not known (line {number})")
     return None, objective_constant

@@ -61,14 +61,16 @@ class ExactVerifier:
         INF = None  # None = unbounded side
         lowers: List = [None] * len(mps.rows)
         uppers: List = [None] * len(mps.rows)
+        # first-set-wins per row, matching the float converter's handling of
+        # alternative-scenario RHS/RANGES sets (io/mps_convert.py)
         b: Dict[int, Fraction] = {}
         for rhs in mps.rhss:
             for i, v in rhs.values:
-                b[i] = v
+                b.setdefault(i, v)
         ranges: Dict[int, Fraction] = {}
         for rng in mps.ranges:
             for i, r in rng.values:
-                ranges[i] = r
+                ranges.setdefault(i, r)
         for i, row in enumerate(mps.rows):
             base = b.get(i, Fraction(0))
             kind = row.constraint_type

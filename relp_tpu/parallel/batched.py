@@ -24,7 +24,7 @@ from relp_tpu.simplex.core import solve_core
 from relp_tpu.utils.config import SolverConfig
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_iter"))
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def _solve_batch(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int):
     solver = functools.partial(solve_core, cfg=cfg, max_iter=max_iter)
     return jax.vmap(solver)(A, b, c, lb, ub)

@@ -90,7 +90,7 @@ def _nonbasic_values(vstat, lb_tot, ub_tot):
     return jnp.where(at_lower, lb_tot, jnp.where(at_upper, ub_tot, 0.0))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_iter"))
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def solve_core(
     A, b, c, lb, ub, cfg: SolverConfig, max_iter: int, basis0=None, vstat0=None
 ) -> SolveOutput:
@@ -114,6 +114,7 @@ def solve_core(
 
     can_enter = (lb < ub)  # fixed + padded columns never enter
     col_ids = jnp.arange(n)
+    A32 = A.astype(jnp.float32) if cfg.mixed_pricing else None
 
     if basis0 is None:
         # ---- cold start: all-artificial basis (reference `Fully` kind) ----
@@ -267,16 +268,47 @@ def solve_core(
 
         # ---- pricing: one fused matvec over the whole column pool ----
         pi = cB @ s.Binv
-        d = c_eff - pi @ A
         vs = s.vstat[:n]
-        imp_l = ((vs == st.NB_LOWER) | (vs == st.NB_FREE)) & (d < -cfg.eps_dual)
-        imp_u = ((vs == st.NB_UPPER) | (vs == st.NB_FREE)) & (d > cfg.eps_dual)
-        viol = jnp.where(imp_l, -d, 0.0) + jnp.where(imp_u, d, 0.0)
-        viol = jnp.where(can_enter & (vs != st.BASIC), viol, 0.0)
-        q_dantzig = jnp.argmax(viol)
-        q_bland = jnp.argmin(jnp.where(viol > 0, col_ids, n))
-        q = jnp.where(s.bland, q_bland, q_dantzig).astype(jnp.int32)
-        has_entering = viol[q] > 0
+
+        def select_entering(d):
+            imp_l = ((vs == st.NB_LOWER) | (vs == st.NB_FREE)) & (d < -cfg.eps_dual)
+            imp_u = ((vs == st.NB_UPPER) | (vs == st.NB_FREE)) & (d > cfg.eps_dual)
+            viol = jnp.where(imp_l, -d, 0.0) + jnp.where(imp_u, d, 0.0)
+            viol = jnp.where(can_enter & (vs != st.BASIC), viol, 0.0)
+            q_dantzig = jnp.argmax(viol)
+            q_bland = jnp.argmin(jnp.where(viol > 0, col_ids, n))
+            q = jnp.where(s.bland, q_bland, q_dantzig).astype(jnp.int32)
+            return q, viol[q] > 0
+
+        def price_f64(_):
+            d = c_eff - pi @ A
+            q, has = select_entering(d)
+            return q, has, d[q]
+
+        if cfg.mixed_pricing:
+            # f64 is emulated on TPU: scan the pool in f32 (MXU-friendly),
+            # confirm only the chosen column's reduced cost in f64, and fall
+            # back to a full f64 pricing pass when the f32 scan finds nothing
+            # or its candidate fails confirmation (rare: near optimality).
+            # Exact termination semantics are preserved — OPTIMAL is only
+            # ever declared off the f64 path.
+            d32 = (c_eff.astype(jnp.float32) - (pi.astype(jnp.float32) @ A32)).astype(f)
+            q32, has32 = select_entering(d32)
+            d_q64 = c_eff[q32] - pi @ jnp.take(A, q32, axis=1)
+            confirmed = has32 & (
+                jnp.where(
+                    (vs[q32] == st.NB_UPPER), d_q64 > cfg.eps_dual, d_q64 < -cfg.eps_dual
+                )
+                | ((vs[q32] == st.NB_FREE) & (jnp.abs(d_q64) > cfg.eps_dual))
+            )
+            q, has_entering, d_q = lax.cond(
+                confirmed,
+                lambda _: (q32, jnp.bool_(True), d_q64),
+                price_f64,
+                None,
+            )
+        else:
+            q, has_entering, d_q = price_f64(None)
 
         # ---- straight-line iteration ----
         # Terminal/unbounded statuses and the flip-vs-pivot update are all
@@ -287,7 +319,7 @@ def solve_core(
         t = jnp.where(
             vs[q] == st.NB_UPPER,
             -1.0,
-            jnp.where(vs[q] == st.NB_FREE, -jnp.sign(d[q]), 1.0),
+            jnp.where(vs[q] == st.NB_FREE, -jnp.sign(d_q), 1.0),
         )
         a_q = jnp.take(A, q, axis=1)
         u = s.Binv @ a_q       # FTRAN

@@ -55,6 +55,11 @@ class SolverConfig:
     # fallback; False forces plain Gauss-Jordan.
     newton_refactor: bool = True
 
+    # Price the column pool in f32 (MXU) with f64 confirmation of the
+    # chosen column and a full-f64 fallback pass near optimality; f64 is
+    # emulated on TPU, so this is the dominant per-iteration FLOP saving.
+    mixed_pricing: bool = True
+
     # Switch to Bland's rule after this many consecutive degenerate pivots
     # (anti-cycling; the reference relies on Bland tie-breaking plus exact
     # arithmetic, tableau/mod.rs:221-247).

@@ -88,10 +88,14 @@ def test_convert_general_form():
     ]
 
 
-def test_second_cost_row_rejected():
-    bad = TESTPROB.replace(" G  LIM2", " N  LIM2")
-    with pytest.raises((ParseError, InconsistencyError)):
-        parse_free(bad)
+def test_second_n_row_is_ignored_free_row():
+    # GLPK-compatible superset: extra N rows are ignored free rows (the
+    # reference rejects a second cost row, parse/mod.rs:265-270)
+    text = TESTPROB.replace(" G  LIM2", " N  LIM2")
+    mps = parse_free(text)
+    assert [r.name for r in mps.rows] == ["LIM1", "MYEQN"]
+    # XONE's LIM2 coefficient (now on a free row) is dropped
+    assert mps.columns[0].values == [(0, 1.0)]
 
 
 def test_unknown_row_rejected():
