@@ -64,6 +64,7 @@ def mps_to_general_form(mps: MPS) -> GeneralForm:
         variables=variables,
         name=mps.name,
         fixed_cost=mps.objective_constant,
+        row_names=[r.name for r in mps.rows],
     )
 
 

@@ -106,6 +106,7 @@ class GeneralForm:
         variables: List[Variable],
         name: str = "",
         fixed_cost: float = 0.0,
+        row_names: Optional[List[str]] = None,
     ):
         self.objective = objective
         self.A = sp.csc_matrix(A, dtype=np.float64)
@@ -114,6 +115,11 @@ class GeneralForm:
         self.variables = list(variables)
         self.name = name
         self.fixed_cost = float(fixed_cost)
+        self.row_names: List[str] = (
+            list(row_names)
+            if row_names is not None
+            else [f"r{i}" for i in range(self.A.shape[0])]
+        )
         # Reconstruction data for variables eliminated by presolve.
         self.removed_variables: Dict[str, RemovedVariable] = {}
         assert self.A.shape == (len(self.constraint_types), len(self.variables))

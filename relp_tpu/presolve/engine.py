@@ -468,6 +468,7 @@ class Presolver:
         g.b = b
         g.variables = variables
         g.fixed_cost = self.fixed_cost
+        g.row_names = [g.row_names[i] for i in rows]
 
 
 def presolve(general: GeneralForm, tol: float = 1e-9) -> PresolveResult:

@@ -146,16 +146,24 @@ def solve_core(
             repairs=jnp.int32(0),
         )
     else:
-        # ---- warm start from a caller-provided structural basis ----
+        # ---- warm start from a caller-provided basis (may include
+        # artificial entries >= n, e.g. for equality rows a basis file
+        # leaves uncovered) ----
         vstat_full = jnp.concatenate(
             [vstat0.astype(jnp.int32), jnp.full(m, st.NB_LOWER, jnp.int32)]
         )
+        # artificial signs from the nonbasic-point residual so warm basic
+        # artificials start at non-negative levels
+        x0w = _nonbasic_values(vstat_full[:n], lb, ub)
+        x0w = jnp.where(vstat_full[:n] == st.BASIC, 0.0, x0w)
+        r0w = b - A @ x0w
+        art_sign_w = jnp.where(r0w >= 0, 1.0, -1.0).astype(f)
         state0 = State(
             basis=basis0.astype(jnp.int32),
             vstat=vstat_full,
             xB=jnp.zeros(m, f),
             Binv=jnp.eye(m, dtype=f),  # placeholder; refactor fires first
-            art_sign=jnp.ones(m, f),
+            art_sign=art_sign_w,
             phase=jnp.int32(1),  # transition check flips to 2 immediately
             status=jnp.int32(st.RUNNING),
             it=jnp.int32(0),

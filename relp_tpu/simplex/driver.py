@@ -60,8 +60,12 @@ def _bucket(x: int, floor: int) -> int:
 
 
 def solve_computational_form(
-    cf: ComputationalForm, config: SolverConfig = DEFAULT_CONFIG
+    cf: ComputationalForm,
+    config: SolverConfig = DEFAULT_CONFIG,
+    warm_start_builder=None,
 ) -> SimplexResult:
+    """``warm_start_builder(m_pad, n_pad) -> (basis0, vstat0)`` optionally
+    provides an initial basis (reference ``FullInitialBasis`` path)."""
     m, n = cf.m, cf.n
 
     if np.any(cf.lb > cf.ub):
@@ -91,8 +95,17 @@ def solve_computational_form(
     max_iter = config.resolve_max_iter(m, n)
     from relp_tpu.utils.metrics import SolveMetrics, Timer
 
+    warm_kwargs = {}
+    if warm_start_builder is not None:
+        basis0, vstat0 = warm_start_builder(m_pad, n_pad)
+        warm_kwargs = dict(
+            basis0=np.asarray(basis0, np.int32), vstat0=np.asarray(vstat0, np.int32)
+        )
+
     with Timer() as t:
-        out = solve_core(A, b, c, lb, ub, cfg=config, max_iter=max_iter)
+        out = solve_core(
+            A, b, c, lb, ub, cfg=config, max_iter=max_iter, **warm_kwargs
+        )
         out = jax.block_until_ready(out)
 
     status = int(out.status)
@@ -157,9 +170,70 @@ def _solve_trivial(cf: ComputationalForm) -> SimplexResult:
     )
 
 
+def basis_file_warm_start(basis_file, general: GeneralForm, cf: ComputationalForm):
+    """Build a warm-start builder from an MPS basis file (io/basis_file.py).
+
+    Statuses are resolved by name against the (possibly presolved) problem;
+    rows left uncovered get artificial basis entries, and a singular warm
+    basis degrades to a phase-1 repair inside the engine.
+    """
+    from relp_tpu.io.basis_file import BasisStatus
+    from relp_tpu.simplex import status as stt_codes
+
+    var_names = {v.name for v in general.variables}
+    col_stat, row_stat = {}, dict(basis_file.row_status)
+    for name, s in basis_file.column_status.items():
+        if name not in var_names and name in set(general.row_names):
+            row_stat[name] = s
+        else:
+            col_stat[name] = s
+
+    def build(m_pad, n_pad):
+        vstat0 = np.full(n_pad, stt_codes.NB_FIXED, np.int32)
+        nn = cf.n
+        vstat0[:nn] = np.where(
+            cf.lb == cf.ub,
+            stt_codes.NB_FIXED,
+            np.where(
+                np.isfinite(cf.lb),
+                stt_codes.NB_LOWER,
+                np.where(np.isfinite(cf.ub), stt_codes.NB_UPPER, stt_codes.NB_FREE),
+            ),
+        )
+        basic = []
+
+        def apply(j, s):
+            if s is BasisStatus.BASIC and len(basic) < m_pad:
+                basic.append(j)
+                vstat0[j] = stt_codes.BASIC
+            elif s is BasisStatus.AT_UPPER and np.isfinite(cf.ub[j]):
+                vstat0[j] = stt_codes.NB_UPPER
+            elif s is BasisStatus.AT_LOWER and np.isfinite(cf.lb[j]):
+                vstat0[j] = stt_codes.NB_LOWER
+
+        for j, v in enumerate(general.variables):
+            s = col_stat.get(v.name)
+            if s is not None:
+                apply(j, s)
+        for idx, row_i in enumerate(cf.slack_rows):
+            s = row_stat.get(general.row_names[int(row_i)], BasisStatus.BASIC)
+            apply(cf.n_structural + int(idx), s)
+
+        remaining = m_pad - len(basic)
+        # uncovered slots: artificials — padded rows first, then real rows
+        art_rows = list(range(cf.m, m_pad)) + list(range(cf.m))
+        basis0 = np.array(
+            basic + [n_pad + r for r in art_rows[:remaining]], dtype=np.int32
+        )
+        return basis0, vstat0
+
+    return build
+
+
 def solve_general_form(
     general: GeneralForm,
     config: SolverConfig = DEFAULT_CONFIG,
+    initial_basis=None,
 ) -> "GeneralFormResult":
     """End-to-end: GeneralForm → computational form → device solve → Solution.
 
@@ -184,7 +258,12 @@ def solve_general_form(
         return GeneralFormResult(kind=LinearProgramType.FINITE_OPTIMUM, solution=done)
 
     cf = build_computational_form(general, scale=config.scale)
-    res = solve_computational_form(cf, config)
+    builder = (
+        basis_file_warm_start(initial_basis, general, cf)
+        if initial_basis is not None
+        else None
+    )
+    res = solve_computational_form(cf, config, warm_start_builder=builder)
     if not res.is_optimal:
         return GeneralFormResult(kind=res.kind, simplex=res)
 
