@@ -39,6 +39,11 @@ def main(argv=None) -> int:
     ap.add_argument("--suite", choices=["small", "full"], default="small")
     ap.add_argument("--quick", action="store_true", help="3 instances only")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument(
+        "--batch",
+        action="store_true",
+        help="also time the small suite as one vmapped fleet solve",
+    )
     args = ap.parse_args(argv)
 
     import relp_tpu  # noqa: F401
@@ -75,19 +80,36 @@ def main(argv=None) -> int:
             )
 
     iters_per_s = total_iters / max(total_wall, 1e-9)
-    print(
-        json.dumps(
-            {
-                "metric": f"netlib_{args.suite}_iters_per_s",
-                "value": round(iters_per_s, 2),
-                "unit": "simplex iterations/s",
-                "vs_baseline": round(iters_per_s / BASELINE_ITERS_PER_S, 3),
-                "solved": f"{solved}/{len(names)}",
-                "total_wall_s": round(total_wall, 3),
-                "total_iters": total_iters,
-            }
+    payload = {
+        "metric": f"netlib_{args.suite}_iters_per_s",
+        "value": round(iters_per_s, 2),
+        "unit": "simplex iterations/s",
+        "vs_baseline": round(iters_per_s / BASELINE_ITERS_PER_S, 3),
+        "solved": f"{solved}/{len(names)}",
+        "total_wall_s": round(total_wall, 3),
+        "total_iters": total_iters,
+    }
+
+    if args.batch:
+        from relp_tpu.io import import_lp
+        from relp_tpu.simplex.driver import solve_general_forms_batched
+
+        fleet_names = SUITE_SMALL
+        generals = [import_lp(f"{base}/{n}.SIF") for n in fleet_names]
+        solve_general_forms_batched(generals, config)  # warmup/compile
+        generals = [import_lp(f"{base}/{n}.SIF") for n in fleet_names]
+        t0 = time.perf_counter()
+        results = solve_general_forms_batched(generals, config)
+        dt = time.perf_counter() - t0
+        ok = sum(
+            1
+            for r in results
+            if r.kind is LinearProgramType.FINITE_OPTIMUM
         )
-    )
+        payload["batch_small_wall_s"] = round(dt, 3)
+        payload["batch_small_solved"] = f"{ok}/{len(fleet_names)}"
+
+    print(json.dumps(payload))
     return 0
 
 

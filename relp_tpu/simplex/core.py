@@ -441,6 +441,9 @@ def solve_core(
             terminal_status,
             jnp.where(~can_step, unb_status, s.status),
         )
+        # a broken (non-finite) state must not masquerade as priced-out
+        # optimality/infeasibility — stay RUNNING so the watchdog repairs it
+        status_new = jnp.where(broken, s.status, status_new)
         status_new = jnp.where(s.status != st.RUNNING, s.status, status_new)
 
         return s._replace(

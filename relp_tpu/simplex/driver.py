@@ -95,6 +95,13 @@ def solve_computational_form(
     max_iter = config.resolve_max_iter(m, n)
     from relp_tpu.utils.metrics import SolveMetrics, Timer
 
+    # mixed-precision pricing only pays once the pricing matvec is large;
+    # for small buckets the extra select/cast/cond work outweighs it
+    if config.mixed_pricing and m_pad * n_pad < 1 << 17:
+        import dataclasses as _dc
+
+        config = _dc.replace(config, mixed_pricing=False)
+
     warm_kwargs = {}
     if warm_start_builder is not None:
         basis0, vstat0 = warm_start_builder(m_pad, n_pad)
