@@ -26,7 +26,7 @@ SUITE_SMALL = [
     "BOEING2", "SHARE1B", "VTP-BASE", "BORE3D",
 ]
 # adds instances beyond the reference's exact-arithmetic ceiling
-SUITE_FULL = SUITE_SMALL + ["SCORPION", "25FV47"]
+SUITE_FULL = SUITE_SMALL + ["SCORPION", "25FV47", "BNL2"]
 
 # round-1 calibration: 482.8 iters/s measured on a single TPU v5e chip,
 # suite=full (19/19 solved incl. 25FV47, which the reference cannot solve);

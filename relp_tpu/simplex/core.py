@@ -61,6 +61,11 @@ class State(NamedTuple):
     vstat: jax.Array          # i32[n+m]
     xB: jax.Array             # f64[m] — values of basic variables
     Binv: jax.Array           # f64[m, m]
+    pi: jax.Array             # f64[m] — simplex multipliers c_Bᵀ B⁻¹, updated
+    #                           incrementally: π' = π + (d_q/u_r)·B⁻¹[r,:]
+    #                           (recomputed at refactorization; the BTRAN
+    #                           matvec would otherwise dominate — f64 matmul
+    #                           is emulated on TPU)
     art_sign: jax.Array       # f64[m] — artificial column i is art_sign[i]*e_i
     phase: jax.Array          # i32 scalar: 1 or 2
     status: jax.Array         # i32 scalar
@@ -136,6 +141,7 @@ def solve_core(
             vstat=vstat_full,
             xB=jnp.abs(r0),
             Binv=jnp.diag(art_sign),  # diag(±1) is its own inverse
+            pi=art_sign,  # (1,…,1)·diag(±1): phase-1 duals
             art_sign=art_sign,
             phase=jnp.int32(1),
             status=jnp.int32(st.RUNNING),
@@ -163,6 +169,7 @@ def solve_core(
             vstat=vstat_full,
             xB=jnp.zeros(m, f),
             Binv=jnp.eye(m, dtype=f),  # placeholder; refactor fires first
+            pi=jnp.zeros(m, f),
             art_sign=art_sign_w,
             phase=jnp.int32(1),  # transition check flips to 2 immediately
             status=jnp.int32(st.RUNNING),
@@ -203,6 +210,7 @@ def solve_core(
             vstat=vstat,
             xB=jnp.abs(r0),
             Binv=jnp.diag(sign),
+            pi=sign,
             art_sign=sign,
             phase=jnp.int32(1),
             since_refactor=jnp.int32(0),
@@ -231,10 +239,18 @@ def solve_core(
             nb = jnp.where(s.vstat == st.BASIC, 0.0, nb)
             r = b - A @ nb[:n]  # nonbasic artificials sit at 0
             xB = Binv @ r
+            phase1_here = s.phase == 1
+            c_eff_here = jnp.where(phase1_here, jnp.zeros_like(c), c)
+            cB = jnp.where(
+                s.basis >= n,
+                jnp.where(phase1_here, 1.0, 0.0),
+                jnp.take(c_eff_here, jnp.clip(s.basis, 0, n - 1)),
+            )
+            pi = cB @ Binv
             # snap residual artificial levels (≤ eps_feas) to exactly 0 so
             # the phase-2 pinned bounds don't force micro ratio steps
             xB = jnp.where(is_art & (jnp.abs(xB) <= cfg.eps_feas), 0.0, xB)
-            return s._replace(Binv=Binv, xB=xB, since_refactor=jnp.int32(0))
+            return s._replace(Binv=Binv, xB=xB, pi=pi, since_refactor=jnp.int32(0))
 
         return lax.cond(min_piv < cfg.singular_tol, repair, rebuild, s)
 
@@ -244,7 +260,7 @@ def solve_core(
         # has degraded (the exact-arithmetic reference can't hit this).  A
         # refactorization rebuilds from clean problem columns; if the state
         # is broken immediately after one, give up with NUMERICAL.
-        broken = ~jnp.isfinite(jnp.sum(s.xB) + jnp.sum(s.Binv))
+        broken = ~jnp.isfinite(jnp.sum(s.xB) + jnp.sum(s.Binv) + jnp.sum(s.pi))
         s = s._replace(
             status=jnp.where(
                 broken & (s.since_refactor == 0), st.NUMERICAL, s.status
@@ -268,14 +284,10 @@ def solve_core(
         phase1 = s.phase == 1
         # effective costs: phase 1 prices the artificial-mass objective
         c_eff = jnp.where(phase1, jnp.zeros_like(c), c)
-        cB = jnp.where(
-            s.basis >= n,
-            jnp.where(phase1, 1.0, 0.0),
-            jnp.take(c_eff, jnp.clip(s.basis, 0, n - 1)),
-        )
 
-        # ---- pricing: one fused matvec over the whole column pool ----
-        pi = cB @ s.Binv
+        # ---- pricing: one fused matvec over the whole column pool,
+        # against the incrementally-maintained duals ----
+        pi = s.pi
         vs = s.vstat[:n]
 
         def select_entering(d):
@@ -416,6 +428,7 @@ def solve_core(
         xB_new = jnp.where(is_pivot, xB_piv, jnp.where(is_flip, xB_moved, s.xB))
         Binv_new = jnp.where(is_pivot, Binv_piv, s.Binv)
         basis_new = jnp.where(is_pivot, s.basis.at[r].set(q), s.basis)
+        pi_new = jnp.where(is_pivot, s.pi + d_q * w, s.pi)
 
         degen = do_update & (theta_safe <= cfg.eps_zero)
         degen_count = jnp.where(
@@ -451,6 +464,7 @@ def solve_core(
             xB=xB_new,
             Binv=Binv_new,
             basis=basis_new,
+            pi=pi_new,
             vstat=vstat_new,
             degen_count=degen_count,
             bland=bland_new,

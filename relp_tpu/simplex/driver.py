@@ -46,17 +46,22 @@ def _round_up(x: int, mult: int) -> int:
 
 
 def _bucket(x: int, floor: int) -> int:
-    """Geometric (power-of-two) shape bucketing above ``floor``.
+    """Geometric shape bucketing above ``floor``: sizes 1× and 1.5× each
+    power of two (64, 96, 128, 192, 256, ...).
 
     Each distinct padded shape costs a full XLA compile (minutes through the
-    TPU remote-compile path), so problems share programs: the whole small
-    Netlib set lands in one or two buckets.  The TPU analogue of the
-    reference compiling one binary for all problem sizes.
+    TPU remote-compile path), so problems share programs; the 1.5× steps
+    cap padding waste at 33% (pure powers of two waste up to 2× — painful
+    when the per-iteration cost is O(m²)).
     """
-    size = floor
-    while size < x:
-        size *= 2
-    return size
+    v = floor
+    while v < x:
+        k = v // floor
+        if k & (k - 1) == 0:  # v = floor·2^j → next is 1.5×
+            v = v * 3 // 2
+        else:  # v = floor·3·2^(j-1) → next is 4/3×
+            v = v * 4 // 3
+    return v
 
 
 def solve_computational_form(

@@ -38,12 +38,18 @@ CASES = [
 
 # Beyond the reference's capability ceiling (ignored there as "too
 # computationally intensive"); float64 + TPU should break through.
+# Expected objectives: Gurobi (25FV47/80BAU3B per reference comments) and
+# Koch, "The final Netlib-LP results" (the rest; BASELINE configs name
+# bnl2 and fit2p/pilot87 explicitly).
 CEILING_CASES = [
     ("SCORPION", 1.8781248227381066296479411763586e3, 1e-2),
     ("25FV47", 5.5018459e03, 5.5018459e03 * 1e-5),
     ("GREENBEA", -7.2555248129845987457557870574845e7, 1e0),
     ("GREENBEB", -4.3022602612065867539213672544432e6, 1e1),
     ("80BAU3B", 9.872241924e05, 9.872241924e05 * 1e-5),
+    ("BNL2", 1.8112365404e3, 1.8112365404e3 * 1e-5),
+    ("FIT2P", 6.8464293294e4, 6.8464293294e4 * 1e-5),
+    ("PILOT87", 3.0171034733e2, 3.0171034733e2 * 1e-4),
 ]
 
 
