@@ -446,7 +446,13 @@ def solve_core(
 
         # status resolution: no improving column → optimal/infeasible;
         # improving but no finite step → unbounded (phase 2) or degraded
-        # inverse (phase 1, whose objective is bounded below)
+        # inverse (phase 1, whose objective is bounded below).
+        # Terminal decisions are only trusted when the inverse and duals are
+        # FRESH (since_refactor == 0): with incrementally-maintained π/B⁻¹ a
+        # drifted state may misprice; instead of terminating we force a
+        # refactorization and let the next iteration re-decide exactly.
+        fresh = s.since_refactor == 0
+        wants_terminal = (~has_entering) | (has_entering & ~can_step)
         terminal_status = jnp.where(phase1, st.INFEASIBLE, st.OPTIMAL)
         unb_status = jnp.where(phase1, st.NUMERICAL, st.UNBOUNDED)
         status_new = jnp.where(
@@ -454,6 +460,7 @@ def solve_core(
             terminal_status,
             jnp.where(~can_step, unb_status, s.status),
         )
+        status_new = jnp.where(fresh, status_new, s.status)
         # a broken (non-finite) state must not masquerade as priced-out
         # optimality/infeasibility — stay RUNNING so the watchdog repairs it
         status_new = jnp.where(broken, s.status, status_new)
@@ -468,7 +475,11 @@ def solve_core(
             vstat=vstat_new,
             degen_count=degen_count,
             bland=bland_new,
-            since_refactor=(s.since_refactor + is_pivot.astype(jnp.int32)),
+            since_refactor=jnp.where(
+                wants_terminal & ~fresh & ~broken,
+                cfg.refactor_period,
+                s.since_refactor + is_pivot.astype(jnp.int32),
+            ).astype(jnp.int32),
             it=s.it + 1,
         )
 
