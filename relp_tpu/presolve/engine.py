@@ -189,19 +189,30 @@ class Presolver:
                 self.q_rows.push(i)
             self.q_activity.push(i)
 
+    # Chained derived bounds accumulate roundoff far beyond machine eps on
+    # numerically wide instances (PILOT87): only act on *substantial*
+    # improvements and keep a safety margin before declaring infeasibility.
+    MEANINGFUL = 1e-6
+    CROSSING = 1e-7
+
     def _tighten(self, j, lower=None, upper=None) -> bool:
         """Monotone bound tightening with meaningful-change detection."""
         changed = False
-        if lower is not None and lower > self.lb[j] + self.tol * (1 + abs(lower)):
+        if lower is not None and lower > self.lb[j] + self.MEANINGFUL * (1 + abs(lower)):
             self.lb[j] = lower
             changed = True
-        if upper is not None and upper < self.ub[j] - self.tol * (1 + abs(upper)):
+        if upper is not None and upper < self.ub[j] - self.MEANINGFUL * (1 + abs(upper)):
             self.ub[j] = upper
             changed = True
         if changed:
             self.result.nr_bounds_tightened += 1
-            if self.lb[j] > self.ub[j] + self.tol * (1 + abs(self.lb[j])):
+            if self.lb[j] > self.ub[j] + self.CROSSING * (1 + abs(self.lb[j])):
                 self.result.status = LinearProgramType.INFEASIBLE
+            elif self.lb[j] > self.ub[j]:
+                # tiny crossing within tolerance: snap to the midpoint
+                v = 0.5 * (self.lb[j] + self.ub[j])
+                self.lb[j] = self.ub[j] = v
+                self.q_fixed.push(j)
             elif (
                 math.isfinite(self.lb[j])
                 and math.isfinite(self.ub[j])
@@ -337,18 +348,24 @@ class Presolver:
         smin, n_inf_min, smax, n_inf_max = self._activities(i)
         amin = -INF if n_inf_min else smin
         amax = INF if n_inf_max else smax
-        # tolerance from the *finite* magnitudes only (an infinite activity
-        # must not degenerate the comparisons below into always-true)
+        # Tolerance direction matters.  Declaring INFEASIBLE must be
+        # *conservative*: generous tolerance scaled by the (finite) activity
+        # magnitudes, since the sums carry their roundoff.  Redundancy
+        # removal and forcing are *aggressive* actions: they need a tight
+        # tolerance scaled only by the row bound — the activity-scaled
+        # tolerance once "forced" whole PILOT87 rows that were merely close.
         ftol = self.tol * (1 + abs(smin) + abs(smax))
+        tight_L = self.tol * (1 + abs(L)) if math.isfinite(L) else 0.0
+        tight_U = self.tol * (1 + abs(U)) if math.isfinite(U) else 0.0
 
         # constraint-level checks (domain_propagation.rs:242-315)
         if amin > U + ftol or amax < L - ftol:
             self.result.status = LinearProgramType.INFEASIBLE
             return
-        if amin >= L - ftol and amax <= U + ftol:
+        if amin >= L - tight_L and amax <= U + tight_U:
             self._deactivate_row(i)  # redundant
             return
-        if amin >= U - ftol and not n_inf_min:
+        if amin >= U - tight_U and not n_inf_min and math.isfinite(U):
             # forcing: every variable pinned at its min-activity bound
             for j, c in list(self.row_entries(i)):
                 v = self.lb[j] if c > 0 else self.ub[j]
@@ -356,7 +373,7 @@ class Presolver:
                 self.q_fixed.push(j)
             self._deactivate_row(i)
             return
-        if amax <= L + ftol and not n_inf_max:
+        if amax <= L + tight_L and not n_inf_max and math.isfinite(L):
             for j, c in list(self.row_entries(i)):
                 v = self.ub[j] if c > 0 else self.lb[j]
                 self.lb[j] = self.ub[j] = v
