@@ -177,3 +177,15 @@ def test_presolve_preserves_netlib_objectives():
         res = solve(path, SolverConfig(presolve=True))
         assert res.kind is LinearProgramType.FINITE_OPTIMUM
         assert res.solution.objective_value == pytest.approx(expected, abs=tol), name
+
+
+def test_pilot87_not_falsely_infeasible():
+    """Regression: activity-scaled tolerances once let the forcing rule
+    fire on nearly-tight PILOT87 rows, cascading into a false INFEASIBLE
+    (aggressive actions must use tight, row-bound-scaled tolerances)."""
+    from tests.conftest import reference_problem
+    from relp_tpu.io import import_lp
+
+    gf = import_lp(reference_problem("netlib", "PILOT87.SIF"))
+    res = presolve(gf)
+    assert res.status is None
