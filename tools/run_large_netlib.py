@@ -1,5 +1,6 @@
 """Solve the large beyond-ceiling Netlib instances on the TPU, one by one."""
-import sys, time
+import os, sys, time
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import relp_tpu
 from relp_tpu.api import solve
 from relp_tpu.utils.config import SolverConfig
