@@ -74,6 +74,7 @@ class State(NamedTuple):
     degen_count: jax.Array    # i32 — consecutive degenerate steps
     bland: jax.Array          # bool — Bland's rule active
     repairs: jax.Array        # i32 — singular-basis repairs performed
+    w: jax.Array              # f64[n] — devex reference weights (≈‖B⁻¹a_j‖²)
 
 
 class SolveOutput(NamedTuple):
@@ -119,7 +120,8 @@ def solve_core(
 
     can_enter = (lb < ub)  # fixed + padded columns never enter
     col_ids = jnp.arange(n)
-    A32 = A.astype(jnp.float32) if cfg.mixed_pricing else None
+    need_a32 = cfg.mixed_pricing or cfg.pricing == "devex"
+    A32 = A.astype(jnp.float32) if need_a32 else None
 
     if basis0 is None:
         # ---- cold start: all-artificial basis (reference `Fully` kind) ----
@@ -150,6 +152,7 @@ def solve_core(
             degen_count=jnp.int32(0),
             bland=jnp.bool_(cfg.pricing == "bland"),
             repairs=jnp.int32(0),
+            w=jnp.ones(n, f),
         )
     else:
         # ---- warm start from a caller-provided basis (may include
@@ -178,6 +181,7 @@ def solve_core(
             degen_count=jnp.int32(0),
             bland=jnp.bool_(cfg.pricing == "bland"),
             repairs=jnp.int32(0),
+            w=jnp.ones(n, f),
         )
 
     def art_mass(s: State):
@@ -220,6 +224,7 @@ def solve_core(
             status=jnp.where(
                 s.repairs + 1 > 3, st.NUMERICAL, s.status
             ).astype(jnp.int32),
+            w=jnp.ones(n, A.dtype),
         )
 
     # ---- refactorization ----
@@ -295,9 +300,14 @@ def solve_core(
             imp_u = ((vs == st.NB_UPPER) | (vs == st.NB_FREE)) & (d > cfg.eps_dual)
             viol = jnp.where(imp_l, -d, 0.0) + jnp.where(imp_u, d, 0.0)
             viol = jnp.where(can_enter & (vs != st.BASIC), viol, 0.0)
-            q_dantzig = jnp.argmax(viol)
+            if cfg.pricing == "devex":
+                # devex: maximize d_j² / w_j (approximate steepest edge)
+                score = viol * viol / s.w
+            else:
+                score = viol
+            q_best = jnp.argmax(score)
             q_bland = jnp.argmin(jnp.where(viol > 0, col_ids, n))
-            q = jnp.where(s.bland, q_bland, q_dantzig).astype(jnp.int32)
+            q = jnp.where(s.bland, q_bland, q_best).astype(jnp.int32)
             return q, viol[q] > 0
 
         def price_f64(_):
@@ -430,6 +440,29 @@ def solve_core(
         basis_new = jnp.where(is_pivot, s.basis.at[r].set(q), s.basis)
         pi_new = jnp.where(is_pivot, s.pi + d_q * w, s.pi)
 
+        if cfg.pricing == "devex":
+            # devex reference-weight update (Harris 1973): with pivot row
+            # α = (B⁻¹A)[r,:] (f32 — weights are heuristic) and α_q = u_r,
+            #   w_j ← max(w_j, (α_j/α_q)² w_q)   for nonbasic j
+            #   w_leaving ← max(w_q/α_q², 1)
+            alpha = (s.Binv[r].astype(jnp.float32) @ A32).astype(f)
+            p_sq = jnp.maximum(p * p, 1e-30)
+            wq = s.w[q]
+            cand = (alpha * alpha) * (wq / p_sq)
+            w_upd = jnp.maximum(s.w, cand)
+            w_upd = w_upd.at[q].set(1.0)
+            kr_in_n = jnp.minimum(kr, n - 1)
+            w_upd = jnp.where(
+                jnp.arange(n) == kr_in_n,
+                jnp.where(kr < n, jnp.maximum(wq / p_sq, 1.0), w_upd),
+                w_upd,
+            )
+            # cap runaway weights (periodic refactor keeps things sane)
+            w_upd = jnp.minimum(w_upd, 1e12)
+            w_new = jnp.where(is_pivot, w_upd, s.w)
+        else:
+            w_new = s.w
+
         degen = do_update & (theta_safe <= cfg.eps_zero)
         degen_count = jnp.where(
             degen, s.degen_count + 1, jnp.where(do_update, 0, s.degen_count)
@@ -472,6 +505,7 @@ def solve_core(
             Binv=Binv_new,
             basis=basis_new,
             pi=pi_new,
+            w=w_new,
             vstat=vstat_new,
             degen_count=degen_count,
             bland=bland_new,

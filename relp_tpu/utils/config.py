@@ -65,9 +65,10 @@ class SolverConfig:
     # arithmetic, tableau/mod.rs:221-247).
     bland_trigger: int = 100
 
-    # Pricing rule: "dantzig" (most negative reduced cost; reference
-    # `SteepestDescent`, pivot_rule.rs:97-127) or "bland".
-    pricing: str = "dantzig"
+    # Pricing rule: "devex" (approximate steepest edge, Harris 1973 —
+    # typically 2-3x fewer iterations), "dantzig" (most negative reduced
+    # cost; reference `SteepestDescent`, pivot_rule.rs:97-127) or "bland".
+    pricing: str = "devex"
 
     # Apply geometric-mean equilibration scaling before solving.
     scale: bool = True
