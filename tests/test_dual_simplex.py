@@ -69,3 +69,19 @@ def test_dual_detects_infeasible():
         cfg=CFG, max_iter=2000,
     )
     assert int(dual.status) == st.INFEASIBLE
+
+
+def test_reoptimize_api_fallbacks():
+    from relp_tpu.simplex.reoptimize import reoptimize_with_bounds
+
+    A, b, c, lb, ub = problem(seed=15)
+    out = solve_core(A, b, c, lb, ub, cfg=CFG, max_iter=2000)
+    assert int(out.status) == st.OPTIMAL
+    # loosen + tighten a mix of bounds
+    rng = np.random.default_rng(0)
+    ub2 = ub * (0.5 + rng.random(len(ub)))
+    out2 = reoptimize_with_bounds(A, b, c, lb, ub2, out, CFG)
+    ref = solve_core(A, b, c, lb, ub2, cfg=CFG, max_iter=2000)
+    assert int(out2.status) == int(ref.status)
+    if int(ref.status) == st.OPTIMAL:
+        assert float(out2.obj) == pytest.approx(float(ref.obj), abs=1e-8)
