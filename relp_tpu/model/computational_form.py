@@ -88,29 +88,27 @@ class ComputationalForm:
     _orig_cost: np.ndarray = None  # type: ignore[assignment]
 
 
-def _equilibrate(A: np.ndarray, passes: int = 2):
-    """Geometric-mean row/column equilibration, rounded to powers of two so
-    scaling is exact in binary floating point."""
-    m, n = A.shape
+def _equilibrate_sparse(rows, cols, data, m, n, passes: int = 2):
+    """Geometric-mean row/column equilibration computed over the nonzero
+    pattern only (the dense version took ~20s on FIT2P), rounded to powers
+    of two so scaling is exact in binary floating point.
+
+    Returns (row_scale, col_scale); callers apply them to whatever storage
+    they use.
+    """
     row_scale = np.ones(m)
     col_scale = np.ones(n)
-    B = A.copy()
+    logv = np.log2(np.abs(data))
+    row_cnt = np.maximum(np.bincount(rows, minlength=m), 1)
+    col_cnt = np.maximum(np.bincount(cols, minlength=n), 1)
     for _ in range(passes):
-        with np.errstate(divide="ignore"):
-            absB = np.abs(B)
-            absB[absB == 0] = np.nan
-            r = np.exp2(-np.round(np.nanmean(np.log2(absB), axis=1) / 1.0))
-            r[~np.isfinite(r)] = 1.0
-        B = B * r[:, None]
-        row_scale *= r
-        with np.errstate(divide="ignore"):
-            absB = np.abs(B)
-            absB[absB == 0] = np.nan
-            ccol = np.exp2(-np.round(np.nanmean(np.log2(absB), axis=0)))
-            ccol[~np.isfinite(ccol)] = 1.0
-        B = B * ccol[None, :]
-        col_scale *= ccol
-    return B, row_scale, col_scale
+        r = -np.round(np.bincount(rows, weights=logv, minlength=m) / row_cnt)
+        logv = logv + r[rows]
+        row_scale *= np.exp2(r)
+        cc = -np.round(np.bincount(cols, weights=logv, minlength=n) / col_cnt)
+        logv = logv + cc[cols]
+        col_scale *= np.exp2(cc)
+    return row_scale, col_scale
 
 
 def build_computational_form(
@@ -165,7 +163,19 @@ def build_computational_form(
     b = general.b.astype(np.float64).copy()
 
     if scale and m > 0 and n > 0:
-        A_scaled, row_scale, col_scale = _equilibrate(A)
+        coo = general.A.tocoo()
+        # include slack coefficients (value 1 → log2 = 0) in the pattern
+        slack_rows_arr = np.asarray(slack_rows, dtype=np.int64)
+        rows_all = np.concatenate([coo.row.astype(np.int64), slack_rows_arr])
+        cols_all = np.concatenate(
+            [coo.col.astype(np.int64), n_s + np.arange(n_slack, dtype=np.int64)]
+        )
+        data_all = np.concatenate([coo.data, np.ones(n_slack)])
+        keep = data_all != 0
+        row_scale, col_scale = _equilibrate_sparse(
+            rows_all[keep], cols_all[keep], data_all[keep], m, n
+        )
+        A_scaled = A * row_scale[:, None] * col_scale[None, :]
     else:
         A_scaled = A
         row_scale = np.ones(m)
