@@ -27,7 +27,7 @@ undo them on solution extraction.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import scipy.sparse as sp

@@ -16,7 +16,7 @@ from pathlib import Path
 from typing import Dict, List, Tuple
 
 from relp_tpu.io.mps_parse import parse
-from relp_tpu.model.elements import ConstraintRelation, Objective
+from relp_tpu.model.elements import ConstraintRelation
 
 
 @dataclass

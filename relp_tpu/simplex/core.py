@@ -45,11 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from relp_tpu.ops.linalg import (
-    gauss_jordan_inverse,
-    rank_one_basis_update,
-    robust_inverse,
-)
+from relp_tpu.ops.linalg import gauss_jordan_inverse, robust_inverse
 from relp_tpu.simplex import status as st
 from relp_tpu.utils.config import SolverConfig
 

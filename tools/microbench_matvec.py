@@ -1,11 +1,19 @@
-import time, numpy as np, relp_tpu, jax, jax.numpy as jnp
-from jax import lax
-m = 1024
-key = jax.random.PRNGKey(0)
-Binv = jax.random.normal(key, (m, m), jnp.float64)
-v = jax.random.normal(key, (m,), jnp.float64)
+"""Compare f64 matvec formulations on TPU (dot vs broadcast-multiply+sum).
 
-def chain(f, x0, iters=1000):
+f64 matmul is emulated (~3 GFLOP/s observed) while elementwise f64 ops are
+several times cheaper per flop — if mul+sum wins, the FTRAN in the simplex
+core should switch formulation.
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+import relp_tpu  # noqa: F401
+
+
+def chain(f, x0, iters=500):
     @jax.jit
     def run(x):
         def body(x, _):
@@ -17,15 +25,16 @@ def chain(f, x0, iters=1000):
     jax.block_until_ready(run(x0))
     return (time.perf_counter() - t0) / iters * 1e6
 
-print(f"matvec f64 dot:        {chain(lambda x: (Binv @ x)*1e-3, v):8.2f}us", flush=True)
-print(f"matvec f64 mul+sum:    {chain(lambda x: jnp.sum(Binv * x[None,:], axis=1)*1e-3, v):8.2f}us", flush=True)
-print(f"matvec f64 einsum:     {chain(lambda x: jnp.einsum('ij,j->i', Binv, x, preferred_element_type=jnp.float64)*1e-3, v):8.2f}us", flush=True)
-# df64 emulation: split Binv into two f32 (hi, lo), 3 f32 matvecs
-Bhi = Binv.astype(jnp.float32)
-Blo = (Binv - Bhi.astype(jnp.float64)).astype(jnp.float32)
-def df64(x):
-    xhi = x.astype(jnp.float32)
-    xlo = (x - xhi.astype(jnp.float64)).astype(jnp.float32)
-    y = (Bhi @ xhi).astype(jnp.float64) + (Bhi @ xlo).astype(jnp.float64) + (Blo @ xhi).astype(jnp.float64)
-    return y*1e-3
-print(f"matvec df64 3xf32:     {chain(df64, v):8.2f}us", flush=True)
+
+def main():
+    for m in (512, 1024, 2048):
+        key = jax.random.PRNGKey(0)
+        B = jax.random.normal(key, (m, m), jnp.float64)
+        v = jax.random.normal(key, (m,), jnp.float64)
+        t_dot = chain(lambda x: (B @ x) * 1e-3, v)
+        t_sum = chain(lambda x: jnp.sum(B * x[None, :], axis=1) * 1e-3, v)
+        print(f"m={m}: dot {t_dot:8.2f}us   mul+sum {t_sum:8.2f}us", flush=True)
+
+
+if __name__ == "__main__":
+    main()
