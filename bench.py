@@ -59,14 +59,21 @@ def main(argv=None) -> int:
 
     # warmup pass: populate the jit cache for every padded shape bucket
     for name in names:
-        solve(f"{base}/{name}.SIF", config)
+        try:
+            solve(f"{base}/{name}.SIF", config)
+        except Exception as e:  # keep benching the rest
+            print(f"# warmup {name}: {e}", file=sys.stderr)
 
     total_wall = 0.0
     total_iters = 0
     solved = 0
     for name in names:
         t0 = time.perf_counter()
-        res = solve(f"{base}/{name}.SIF", config)
+        try:
+            res = solve(f"{base}/{name}.SIF", config)
+        except Exception as e:
+            print(f"# {name}: EXC {e}", file=sys.stderr)
+            continue
         dt = time.perf_counter() - t0
         ok = res.kind is LinearProgramType.FINITE_OPTIMUM
         iters = res.simplex.iterations if res.simplex else 0
