@@ -106,9 +106,11 @@ def _compute_variables(mps: MPS) -> List[Variable]:
                 is_free[j] = True
                 needs_default_lower[j] = False
             elif btype is BoundType.LOWER_MINUS_INFINITY:
-                # MI: sign constraint x <= 0; the implied zero bound is taken
-                # as an explicit upper bound (reference process_bound).
-                tighten_upper(j, 0.0)
+                # MI: lower bound is -inf (modern GLPK semantics).  The
+                # reference additionally takes the implied zero as an
+                # explicit *upper* bound (process_bound), which makes
+                # (-inf, u] inexpressible; we deviate deliberately —
+                # a bare MI keeps its default-free upper bound.
                 needs_default_lower[j] = False
             elif btype is BoundType.UPPER_INFINITY:
                 tighten_lower(j, 0.0)

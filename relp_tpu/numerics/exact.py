@@ -143,7 +143,6 @@ class ExactVerifier:
                     is_free[j] = True
                     needs_default_lower[j] = False
                 elif btype is BoundType.LOWER_MINUS_INFINITY:
-                    th(j, Fraction(0))
                     needs_default_lower[j] = False
                 elif btype is BoundType.UPPER_INFINITY:
                     tl(j, Fraction(0))

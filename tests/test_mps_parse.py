@@ -179,15 +179,17 @@ def test_free_and_bounded_rejected():
         mps_to_general_form(parse_free(bad))
 
 
-def test_mi_bound_implies_zero_upper():
-    # reference process_bound: MI takes the implied 0 as an explicit UPPER
+def test_mi_bound_standard_semantics():
+    # MI sets lower = -inf only (GLPK-standard; deliberate deviation from
+    # the reference, whose MI also implies an upper bound of 0 and thereby
+    # makes (-inf, u] inexpressible)
     text = TESTPROB.replace(
         " LO BND1      YTWO                -1", " MI BND1      YTWO"
-    ).replace(" UP BND1      YTWO                 1\n", "")
+    )
     gf = mps_to_general_form(parse_free(text))
     y = gf.variables[1]
     assert y.lower == float("-inf")
-    assert y.upper == 0.0
+    assert y.upper == 1.0  # the UP bound survives
 
 
 def test_rhs_on_cost_row_is_objective_constant():
