@@ -3,15 +3,17 @@
 Counterpart of the reference `relp` binary (src/bin/main.rs:24-64):
 import → GeneralForm → (presolve may fully solve → print & exit) →
 two-phase simplex on device → reconstruct → print solution.
+Extras beyond the reference: --verify (exact certification), --json,
+--basis-in warm starts, --write-mps export, pricing-rule selection.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 import time
 
-from relp_tpu.api import solve
 from relp_tpu.io.errors import ImportError_
 from relp_tpu.model.elements import LinearProgramType
 from relp_tpu.utils.config import SolverConfig
@@ -25,30 +27,75 @@ def main(argv=None) -> int:
     ap.add_argument("problem_file", help="path to a .mps (free) or .sif (fixed) file")
     ap.add_argument("--max-iter", type=int, default=0, help="iteration cap (0 = auto)")
     ap.add_argument("--no-scale", action="store_true", help="disable equilibration scaling")
-    ap.add_argument("--pricing", choices=["dantzig", "bland"], default="dantzig")
+    ap.add_argument("--no-presolve", action="store_true", help="disable presolving")
+    ap.add_argument(
+        "--pricing", choices=["devex", "dantzig", "bland"], default="devex"
+    )
     ap.add_argument("--refactor", type=int, default=64, help="refactorization period")
     ap.add_argument("-q", "--quiet", action="store_true", help="objective only")
+    ap.add_argument("--json", action="store_true", help="machine-readable output")
     ap.add_argument(
         "--verify",
         action="store_true",
         help="certify the solution with the exact (rational) verifier",
+    )
+    ap.add_argument(
+        "--basis-in", metavar="FILE", help="warm start from an MPS basis file"
+    )
+    ap.add_argument(
+        "--write-mps", metavar="FILE", help="export the (presolved) problem and exit"
     )
     args = ap.parse_args(argv)
 
     config = SolverConfig(
         max_iter=args.max_iter,
         scale=not args.no_scale,
+        presolve=not args.no_presolve,
         pricing=args.pricing,
         refactor_period=args.refactor,
     )
 
     t0 = time.perf_counter()
     try:
-        res = solve(args.problem_file, config)
+        from relp_tpu.io import import_lp
+
+        general = import_lp(args.problem_file)
+
+        if args.write_mps:
+            if config.presolve:
+                from relp_tpu.presolve.engine import presolve
+
+                presolve(general)
+            from relp_tpu.io.mps_write import export_mps
+
+            export_mps(general, args.write_mps)
+            print(f"wrote {args.write_mps}", file=sys.stderr)
+            return 0
+
+        initial_basis = None
+        if args.basis_in:
+            from relp_tpu.io.basis_file import import_basis
+
+            initial_basis = import_basis(args.basis_in)
+
+        from relp_tpu.simplex.driver import solve_general_form
+
+        res = solve_general_form(general, config, initial_basis=initial_basis)
     except (OSError, ImportError_) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
     dt = time.perf_counter() - t0
+
+    if args.json:
+        payload = {"status": res.kind.value, "wall_s": round(dt, 4)}
+        if res.solution is not None:
+            payload["objective"] = res.solution.objective_value
+            if not args.quiet:
+                payload["values"] = dict(res.solution.solution_values)
+        if res.simplex is not None:
+            payload["iterations"] = res.simplex.iterations
+        print(json.dumps(payload))
+        return 0 if res.kind is LinearProgramType.FINITE_OPTIMUM else 1
 
     if res.kind is LinearProgramType.FINITE_OPTIMUM:
         sol = res.solution
