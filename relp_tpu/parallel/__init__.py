@@ -14,5 +14,12 @@ is the *new* TPU-native scaling layer:
 from relp_tpu.parallel.mesh import make_solver_mesh
 from relp_tpu.parallel.sharded import solve_sharded
 from relp_tpu.parallel.batched import solve_batched
+from relp_tpu.parallel.multihost import global_solver_mesh, initialize_distributed
 
-__all__ = ["make_solver_mesh", "solve_sharded", "solve_batched"]
+__all__ = [
+    "global_solver_mesh",
+    "initialize_distributed",
+    "make_solver_mesh",
+    "solve_batched",
+    "solve_sharded",
+]
