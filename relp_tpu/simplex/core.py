@@ -94,7 +94,8 @@ def _nonbasic_values(vstat, lb_tot, ub_tot):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def solve_core(
-    A, b, c, lb, ub, cfg: SolverConfig, max_iter: int, basis0=None, vstat0=None
+    A, b, c, lb, ub, cfg: SolverConfig, max_iter: int, basis0=None, vstat0=None,
+    slack_of_row=None,
 ) -> SolveOutput:
     """Solve  min c@x  s.t.  A@x == b, lb <= x <= ub  (all float64, padded).
 
@@ -134,12 +135,47 @@ def solve_core(
         x0 = _nonbasic_values(vstat_full[:n], lb, ub)
         r0 = b - A @ x0
         art_sign = jnp.where(r0 >= 0, 1.0, -1.0).astype(f)
+
+        if slack_of_row is not None:
+            # ---- slack crash: use each row's slack column as the initial
+            # basic variable where that yields a feasible value (reference
+            # `PartialInitialBasis` specialization, matrix_data.rs:432 /
+            # phase_one.rs:66-102) — phase 1 then only owns the rows whose
+            # slack start would violate its bounds ----
+            rows_i = jnp.arange(m)
+            has_slack = slack_of_row >= 0
+            scj = jnp.clip(slack_of_row, 0, n - 1)
+            coeff = A[rows_i, scj]
+            ok_coeff = jnp.abs(coeff) > 1e-12
+            # exclude the slack's own nonbasic contribution from the residual
+            r_excl = r0 + jnp.where(has_slack, coeff * x0[scj], 0.0)
+            s_val = r_excl / jnp.where(ok_coeff, coeff, 1.0)
+            feas = (
+                has_slack
+                & ok_coeff
+                & (s_val >= jnp.take(lb, scj))
+                & (s_val <= jnp.take(ub, scj))
+            )
+            basis_init = jnp.where(feas, scj, n + rows_i).astype(jnp.int32)
+            # mark crashed-in slacks basic (artificial slots are already)
+            vstat_full = vstat_full.at[basis_init].set(st.BASIC)
+            xB0 = jnp.where(feas, s_val, jnp.abs(r0))
+            art_sign = jnp.where(feas, 1.0, art_sign).astype(f)
+            Binv0 = jnp.diag(jnp.where(feas, 1.0 / jnp.where(ok_coeff, coeff, 1.0), art_sign))
+            # phase-1 duals: cB has 1 on artificial rows, 0 on slack rows
+            pi0 = jnp.where(feas, 0.0, art_sign)
+        else:
+            basis_init = n + jnp.arange(m, dtype=jnp.int32)
+            xB0 = jnp.abs(r0)
+            Binv0 = jnp.diag(art_sign)  # diag(±1) is its own inverse
+            pi0 = art_sign  # (1,…,1)·diag(±1): phase-1 duals
+
         state0 = State(
-            basis=n + jnp.arange(m, dtype=jnp.int32),
+            basis=basis_init,
             vstat=vstat_full,
-            xB=jnp.abs(r0),
-            Binv=jnp.diag(art_sign),  # diag(±1) is its own inverse
-            pi=art_sign,  # (1,…,1)·diag(±1): phase-1 duals
+            xB=xB0,
+            Binv=Binv0,
+            pi=pi0,
             art_sign=art_sign,
             phase=jnp.int32(1),
             status=jnp.int32(st.RUNNING),

@@ -113,6 +113,14 @@ def solve_computational_form(
         warm_kwargs = dict(
             basis0=np.asarray(basis0, np.int32), vstat0=np.asarray(vstat0, np.int32)
         )
+    elif config.crash_basis and len(cf.slack_rows):
+        # slack crash (reference PartialInitialBasis): slack column of each
+        # row, -1 where none (equality/padded rows)
+        slack_of_row = np.full(m_pad, -1, np.int32)
+        slack_of_row[cf.slack_rows] = cf.n_structural + np.arange(
+            len(cf.slack_rows), dtype=np.int32
+        )
+        warm_kwargs = dict(slack_of_row=slack_of_row)
 
     with Timer() as t:
         out = solve_core(

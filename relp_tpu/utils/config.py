@@ -76,6 +76,12 @@ class SolverConfig:
     # Run the presolve framework before lowering to computational form.
     presolve: bool = True
 
+    # Start from a slack crash basis (reference PartialInitialBasis):
+    # rows whose slack can feasibly carry the initial residual skip phase 1.
+    # Off by default: with devex pricing the effect is problem-dependent
+    # (helps ADLITTLE, slows SHARE1B/25FV47 slightly).
+    crash_basis: bool = False
+
     # Pad row/column counts up to multiples of these (TPU tile alignment and
     # jit-cache bucketing).
     row_align: int = 8
