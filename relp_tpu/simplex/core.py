@@ -287,7 +287,11 @@ def solve_core(
             # snap residual artificial levels (≤ eps_feas) to exactly 0 so
             # the phase-2 pinned bounds don't force micro ratio steps
             xB = jnp.where(is_art & (jnp.abs(xB) <= cfg.eps_feas), 0.0, xB)
-            return s._replace(Binv=Binv, xB=xB, pi=pi, since_refactor=jnp.int32(0))
+            # devex reference-framework reset once weights have grown large
+            w = jnp.where(jnp.max(s.w) > 1e6, jnp.ones_like(s.w), s.w)
+            return s._replace(
+                Binv=Binv, xB=xB, pi=pi, w=w, since_refactor=jnp.int32(0)
+            )
 
         return lax.cond(min_piv < cfg.singular_tol, repair, rebuild, s)
 
@@ -297,7 +301,20 @@ def solve_core(
         # has degraded (the exact-arithmetic reference can't hit this).  A
         # refactorization rebuilds from clean problem columns; if the state
         # is broken immediately after one, give up with NUMERICAL.
-        broken = ~jnp.isfinite(jnp.sum(s.xB) + jnp.sum(s.Binv) + jnp.sum(s.pi))
+        # Non-finite state OR magnitude blow-up: f64 is emulated on this
+        # TPU and huge-but-finite intermediates (near-singular inverse
+        # entries squared in the rank-1 update) can exceed the emulation's
+        # range and hard-fault the device — refactor well before that.
+        # Blow-up only counts on a stale inverse: a freshly refactorized
+        # ill-conditioned basis already routes through the Gauss-Jordan
+        # minimal-pivot check into repair.
+        binv_mag = jnp.max(jnp.abs(s.Binv))
+        state_sum = jnp.sum(s.xB) + jnp.sum(s.pi)
+        broken = (
+            ~jnp.isfinite(state_sum)
+            | ~jnp.isfinite(binv_mag)
+            | ((binv_mag > 1e14) & (s.since_refactor > 0))
+        )
         s = s._replace(
             status=jnp.where(
                 broken & (s.since_refactor == 0), st.NUMERICAL, s.status
@@ -477,20 +494,22 @@ def solve_core(
             # α = (B⁻¹A)[r,:] (f32 — weights are heuristic) and α_q = u_r,
             #   w_j ← max(w_j, (α_j/α_q)² w_q)   for nonbasic j
             #   w_leaving ← max(w_q/α_q², 1)
+            # All intermediates are clamped well below ~1e38: f64 on this
+            # TPU is emulated, and huge-but-finite values in this update
+            # were implicated in hardware faults deep into long solves.
             alpha = (s.Binv[r].astype(jnp.float32) @ A32).astype(f)
-            p_sq = jnp.maximum(p * p, 1e-30)
-            wq = s.w[q]
-            cand = (alpha * alpha) * (wq / p_sq)
+            inv_p = 1.0 / jnp.where(jnp.abs(p) > 1e-12, p, 1.0)
+            ratio2 = jnp.minimum((alpha * inv_p) ** 2, 1e8)
+            wq = jnp.minimum(s.w[q], 1e8)
+            cand = jnp.minimum(ratio2 * wq, 1e8)
             w_upd = jnp.maximum(s.w, cand)
             w_upd = w_upd.at[q].set(1.0)
             kr_in_n = jnp.minimum(kr, n - 1)
             w_upd = jnp.where(
                 jnp.arange(n) == kr_in_n,
-                jnp.where(kr < n, jnp.maximum(wq / p_sq, 1.0), w_upd),
+                jnp.where(kr < n, jnp.clip(wq * inv_p * inv_p, 1.0, 1e8), w_upd),
                 w_upd,
             )
-            # cap runaway weights (periodic refactor keeps things sane)
-            w_upd = jnp.minimum(w_upd, 1e12)
             w_new = jnp.where(is_pivot, w_upd, s.w)
         else:
             w_new = s.w
