@@ -83,6 +83,7 @@ class SolveOutput(NamedTuple):
     art_inf: jax.Array  # f64 — residual artificial mass (diagnostic)
     pi: jax.Array       # f64[m] — duals (phase-2 simplex multipliers)
     obj: jax.Array      # f64 — c @ x in the solver's (scaled, min) space
+    art_sign: jax.Array # f64[m] — artificial column signs (chunked resume)
 
 
 def _nonbasic_values(vstat, lb_tot, ub_tot):
@@ -95,7 +96,7 @@ def _nonbasic_values(vstat, lb_tot, ub_tot):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def solve_core(
     A, b, c, lb, ub, cfg: SolverConfig, max_iter: int, basis0=None, vstat0=None,
-    slack_of_row=None,
+    slack_of_row=None, art_sign0=None,
 ) -> SolveOutput:
     """Solve  min c@x  s.t.  A@x == b, lb <= x <= ub  (all float64, padded).
 
@@ -195,10 +196,13 @@ def solve_core(
         )
         # artificial signs from the nonbasic-point residual so warm basic
         # artificials start at non-negative levels
-        x0w = _nonbasic_values(vstat_full[:n], lb, ub)
-        x0w = jnp.where(vstat_full[:n] == st.BASIC, 0.0, x0w)
-        r0w = b - A @ x0w
-        art_sign_w = jnp.where(r0w >= 0, 1.0, -1.0).astype(f)
+        if art_sign0 is not None:
+            art_sign_w = art_sign0.astype(f)
+        else:
+            x0w = _nonbasic_values(vstat_full[:n], lb, ub)
+            x0w = jnp.where(vstat_full[:n] == st.BASIC, 0.0, x0w)
+            r0w = b - A @ x0w
+            art_sign_w = jnp.where(r0w >= 0, 1.0, -1.0).astype(f)
         state0 = State(
             basis=basis0.astype(jnp.int32),
             vstat=vstat_full,
@@ -619,4 +623,5 @@ def solve_core(
         art_inf=art_mass(final),
         pi=pi,
         obj=c @ x,
+        art_sign=final.art_sign,
     )

@@ -122,17 +122,34 @@ def solve_computational_form(
         )
         warm_kwargs = dict(slack_of_row=slack_of_row)
 
+    # Long solves run as bounded device calls continued via warm start:
+    # a single uninterrupted device execution beyond ~1 minute risks the
+    # runtime's execution watchdog (observed as hard "kernel fault"s on
+    # PILOT87-sized solves); each chunk ends with a refactorization, so the
+    # resume is exact (basis, statuses, artificial signs).
+    chunk = max(1, int(config.device_chunk_iters))
+    total_done = 0
     with Timer() as t:
-        out = solve_core(
-            A, b, c, lb, ub, cfg=config, max_iter=max_iter, **warm_kwargs
-        )
-        out = jax.block_until_ready(out)
+        while True:
+            this_chunk = min(chunk, max_iter - total_done)
+            out = solve_core(
+                A, b, c, lb, ub, cfg=config, max_iter=this_chunk, **warm_kwargs
+            )
+            out = jax.block_until_ready(out)
+            total_done += int(out.it)
+            if int(out.status) != st.ITERATION_LIMIT or total_done >= max_iter:
+                break
+            warm_kwargs = dict(
+                basis0=np.asarray(out.basis, np.int32),
+                vstat0=np.asarray(out.vstat, np.int32)[:n_pad],
+                art_sign0=np.asarray(out.art_sign),
+            )
 
     status = int(out.status)
     kind = st.STATUS_TO_TYPE[status]
     metrics = SolveMetrics(
         status=kind.value,
-        iterations=int(out.it),
+        iterations=total_done,
         wall_s=t.elapsed,
         m=m,
         n=n,
@@ -144,7 +161,7 @@ def solve_computational_form(
     metrics.emit()
     result = SimplexResult(
         kind=kind,
-        iterations=int(out.it),
+        iterations=total_done,
         art_residual=float(out.art_inf),
         metrics=metrics,
         duals=np.asarray(out.pi)[:m],

@@ -217,4 +217,5 @@ def solve_core_dual(
         art_inf=art_inf,
         pi=final.pi,
         obj=c @ x,
+        art_sign=jnp.ones(m, f),
     )

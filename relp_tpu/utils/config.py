@@ -28,6 +28,11 @@ class SolverConfig:
     max_iter: int = 0
     max_iter_factor: int = 40
 
+    # Iterations per device call: long solves are split into bounded
+    # executions continued via exact warm starts (single uninterrupted
+    # device executions beyond ~1 min hit the runtime's watchdog).
+    device_chunk_iters: int = 8000
+
     # Rebuild the basis inverse from scratch every this many pivots.
     refactor_period: int = 64
 
