@@ -152,3 +152,14 @@ def test_maximize_reporting():
     assert res.kind is LinearProgramType.FINITE_OPTIMUM
     # reported in the problem's own sense: max = 12 at x1 = 4
     assert res.objective == pytest.approx(12.0, abs=1e-9)
+
+
+def test_chunked_device_execution_matches():
+    # force many tiny device calls with exact warm-start continuation
+    from relp_tpu.utils.config import SolverConfig
+
+    A = [[1, 1, 1, 0], [1, 3, 0, 1]]
+    small_chunks = SolverConfig(device_chunk_iters=2)
+    res = solve_computational_form(make_cf(A, [4, 6], [-2, -3, 0, 0]), small_chunks)
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert res.objective == pytest.approx(-9.0, abs=1e-9)
