@@ -29,6 +29,17 @@ def _solve_batch(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int):
     return jax.vmap(solver)(A, b, c, lb, ub)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _solve_batch_warm(A, b, c, lb, ub, basis0, vstat0, art_sign0,
+                      cfg: SolverConfig, max_iter: int):
+    def solver(A, b, c, lb, ub, basis0, vstat0, art_sign0):
+        return solve_core(
+            A, b, c, lb, ub, cfg=cfg, max_iter=max_iter,
+            basis0=basis0, vstat0=vstat0, art_sign0=art_sign0,
+        )
+    return jax.vmap(solver)(A, b, c, lb, ub, basis0, vstat0, art_sign0)
+
+
 def solve_batched(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int, mesh: Mesh = None):
     """Solve a stack of LPs: inputs have a leading scenario axis.
 
@@ -48,4 +59,33 @@ def solve_batched(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int, mesh: Mesh 
             NamedSharding(mesh, P("batch", col_axis)),        # ub
         ]
         arrays = [jax.device_put(x, s) for x, s in zip(arrays, shardings)]
-    return _solve_batch(*arrays, cfg=cfg, max_iter=max_iter)
+
+    # bounded device executions with exact warm-start continuation (see
+    # driver: long single executions risk the runtime watchdog)
+    from relp_tpu.simplex import status as st_codes
+
+    chunk = max(1, int(cfg.device_chunk_iters))
+    n_cols = arrays[0].shape[2]
+    done = 0
+    out = _solve_batch(*arrays, cfg=cfg, max_iter=min(chunk, max_iter))
+    done += int(np.max(np.asarray(out.it)))
+    while (
+        done < max_iter
+        and bool(np.any(np.asarray(out.status) == st_codes.ITERATION_LIMIT))
+    ):
+        out = _solve_batch_warm(
+            *arrays,
+            jnp_asarray_i32(out.basis),
+            jnp_asarray_i32(out.vstat)[:, :n_cols],
+            out.art_sign,
+            cfg=cfg,
+            max_iter=min(chunk, max_iter - done),
+        )
+        done += int(np.max(np.asarray(out.it)))
+    return out
+
+
+def jnp_asarray_i32(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x, jnp.int32)

@@ -58,3 +58,15 @@ def test_batched_no_mesh():
     stacked = [np.stack(arrs) for arrs in zip(*probs)]
     outs = solve_batched(*stacked, cfg=CFG, max_iter=300)
     assert outs.status.shape == (3,)
+
+
+def test_batched_chunked_continuation():
+    probs = [problem(8, 32, seed=30 + i) for i in range(3)]
+    stacked = [np.stack(arrs) for arrs in zip(*probs)]
+    cfg = SolverConfig(device_chunk_iters=3)
+    outs = solve_batched(*stacked, cfg=cfg, max_iter=500)
+    ref = solve_batched(*stacked, cfg=SolverConfig(), max_iter=500)
+    np.testing.assert_array_equal(np.asarray(outs.status), np.asarray(ref.status))
+    for i in range(3):
+        if int(ref.status[i]) == st.OPTIMAL:
+            assert float(outs.obj[i]) == pytest.approx(float(ref.obj[i]), abs=1e-8)
