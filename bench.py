@@ -86,6 +86,8 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
 
+    import jax
+
     iters_per_s = total_iters / max(total_wall, 1e-9)
     payload = {
         "metric": f"netlib_{args.suite}_iters_per_s",
@@ -95,6 +97,7 @@ def main(argv=None) -> int:
         "solved": f"{solved}/{len(names)}",
         "total_wall_s": round(total_wall, 3),
         "total_iters": total_iters,
+        "hardware": f"{len(jax.devices())}x {jax.devices()[0].device_kind}",
     }
 
     if args.batch:
