@@ -328,16 +328,25 @@ def solve_core(
             ).astype(jnp.int32),
         )
 
-        # phase transition: artificial mass numerically zero => real costs
-        transition = (s.phase == 1) & (art_mass(s) <= cfg.eps_feas)
+        s = lax.cond(s.since_refactor >= cfg.refactor_period, refactor, lambda s: s, s)
+
+        # phase transition: artificial mass numerically zero => real costs.
+        # Evaluated AFTER the refactorization branch and only on a fresh
+        # state: warm starts carry a placeholder xB until their first
+        # refactorization, and a drifted xB must not decide the phase.  The
+        # switch invalidates the (phase-1) duals, so the transition forces a
+        # refactorization and this iteration performs no pivot.
+        transition = (
+            (s.phase == 1)
+            & (s.since_refactor == 0)
+            & (art_mass(s) <= cfg.eps_feas)
+        )
         s = s._replace(
             phase=jnp.where(transition, 2, s.phase).astype(jnp.int32),
-            # force a clean refactor at the phase switch
             since_refactor=jnp.where(
                 transition, cfg.refactor_period, s.since_refactor
             ).astype(jnp.int32),
         )
-        s = lax.cond(s.since_refactor >= cfg.refactor_period, refactor, lambda s: s, s)
 
         phase1 = s.phase == 1
         # effective costs: phase 1 prices the artificial-mass objective
@@ -459,7 +468,7 @@ def solve_core(
         can_step = jnp.isfinite(theta)
         flip = bound_range < theta_piv
 
-        do_update = has_entering & can_step
+        do_update = has_entering & can_step & ~transition
         is_pivot = do_update & ~flip
         is_flip = do_update & flip
         theta_safe = jnp.where(can_step, theta, 0.0)
@@ -541,14 +550,22 @@ def solve_core(
         # refactorization and let the next iteration re-decide exactly.
         fresh = s.since_refactor == 0
         wants_terminal = (~has_entering) | (has_entering & ~can_step)
-        terminal_status = jnp.where(phase1, st.INFEASIBLE, st.OPTIMAL)
+        # phase-2 optimality additionally requires the artificials to sit at
+        # (numerically) zero — a stuck positive artificial means the point
+        # does not satisfy the original constraints
+        art_ok = art_mass(s) <= 10 * cfg.eps_feas
+        terminal_status = jnp.where(
+            phase1,
+            st.INFEASIBLE,
+            jnp.where(art_ok, st.OPTIMAL, st.NUMERICAL),
+        )
         unb_status = jnp.where(phase1, st.NUMERICAL, st.UNBOUNDED)
         status_new = jnp.where(
             ~has_entering,
             terminal_status,
             jnp.where(~can_step, unb_status, s.status),
         )
-        status_new = jnp.where(fresh, status_new, s.status)
+        status_new = jnp.where(fresh & ~transition, status_new, s.status)
         # a broken (non-finite) state must not masquerade as priced-out
         # optimality/infeasibility — stay RUNNING so the watchdog repairs it
         status_new = jnp.where(broken, s.status, status_new)
@@ -565,7 +582,7 @@ def solve_core(
             degen_count=degen_count,
             bland=bland_new,
             since_refactor=jnp.where(
-                wants_terminal & ~fresh & ~broken,
+                wants_terminal & ~fresh & ~broken & ~transition,
                 cfg.refactor_period,
                 s.since_refactor + is_pivot.astype(jnp.int32),
             ).astype(jnp.int32),

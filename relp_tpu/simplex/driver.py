@@ -121,6 +121,25 @@ def solve_computational_form(
             len(cf.slack_rows), dtype=np.int32
         )
         warm_kwargs = dict(slack_of_row=slack_of_row)
+    else:
+        # Express the cold start through the warm-start signature so each
+        # shape bucket compiles ONE trace (chunked continuation reuses it;
+        # TPU compiles cost minutes through the remote tunnel).  The warm
+        # path recomputes artificial signs and refactorizes first, which
+        # for the all-artificial basis reproduces the cold start exactly.
+        vstat_cold = np.where(
+            lb == ub,
+            st.NB_FIXED,
+            np.where(
+                np.isfinite(lb),
+                st.NB_LOWER,
+                np.where(np.isfinite(ub), st.NB_UPPER, st.NB_FREE),
+            ),
+        ).astype(np.int32)
+        warm_kwargs = dict(
+            basis0=(n_pad + np.arange(m_pad, dtype=np.int32)),
+            vstat0=vstat_cold,
+        )
 
     # Long solves run as bounded device calls continued via warm start:
     # a single uninterrupted device execution beyond ~1 minute risks the
