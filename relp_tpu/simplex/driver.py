@@ -34,7 +34,7 @@ class SimplexResult:
     iterations: int = 0
     art_residual: float = 0.0
     metrics: Optional["SolveMetrics"] = None
-    duals: Optional[np.ndarray] = None  # row duals in scaled space
+    duals: Optional[np.ndarray] = None  # row duals in ORIGINAL row units
 
     @property
     def is_optimal(self) -> bool:
@@ -178,12 +178,15 @@ def solve_computational_form(
         phase=int(out.phase),
     )
     metrics.emit()
+    # duals back in original row units: scaled rows are r_i·(a_i x) = r_i b_i,
+    # so y_orig = y_scaled · r_i; a maximization flips the internal sign
+    sense = -1.0 if cf.maximize else 1.0
     result = SimplexResult(
         kind=kind,
         iterations=total_done,
         art_residual=float(out.art_inf),
         metrics=metrics,
-        duals=np.asarray(out.pi)[:m],
+        duals=sense * np.asarray(out.pi)[:m] * cf.row_scale,
     )
     if kind is LinearProgramType.FINITE_OPTIMUM:
         x_scaled = np.asarray(out.x)[:n]

