@@ -65,6 +65,11 @@ def solve_batched(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int, mesh: Mesh 
     from relp_tpu.simplex import status as st_codes
 
     chunk = max(1, int(cfg.device_chunk_iters))
+    m_rows = arrays[0].shape[1]
+    batch_n = arrays[0].shape[0]
+    # scale down for problem size AND batch width (per-step cost multiplies)
+    scale_div = max(1.0, (m_rows / 1024.0) ** 2) * max(1.0, batch_n / 4.0)
+    chunk = max(200, int(chunk / scale_div))
     n_cols = arrays[0].shape[2]
     done = 0
     out = _solve_batch(*arrays, cfg=cfg, max_iter=min(chunk, max_iter))

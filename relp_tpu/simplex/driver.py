@@ -146,7 +146,11 @@ def solve_computational_form(
     # runtime's execution watchdog (observed as hard "kernel fault"s on
     # PILOT87-sized solves); each chunk ends with a refactorization, so the
     # resume is exact (basis, statuses, artificial signs).
+    # per-iteration cost grows ~m²; scale the chunk down so one device call
+    # stays well under the watchdog regardless of problem size
     chunk = max(1, int(config.device_chunk_iters))
+    if m_pad > 1024:
+        chunk = max(500, int(chunk * (1024.0 / m_pad) ** 2))
     total_done = 0
     with Timer() as t:
         while True:
