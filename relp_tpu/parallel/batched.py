@@ -30,14 +30,14 @@ def _solve_batch(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _solve_batch_warm(A, b, c, lb, ub, basis0, vstat0, art_sign0,
+def _solve_batch_warm(A, b, c, lb, ub, basis0, vstat0, art_sign0, phase0,
                       cfg: SolverConfig, max_iter: int):
-    def solver(A, b, c, lb, ub, basis0, vstat0, art_sign0):
+    def solver(A, b, c, lb, ub, basis0, vstat0, art_sign0, phase0):
         return solve_core(
             A, b, c, lb, ub, cfg=cfg, max_iter=max_iter,
-            basis0=basis0, vstat0=vstat0, art_sign0=art_sign0,
+            basis0=basis0, vstat0=vstat0, art_sign0=art_sign0, phase0=phase0,
         )
-    return jax.vmap(solver)(A, b, c, lb, ub, basis0, vstat0, art_sign0)
+    return jax.vmap(solver)(A, b, c, lb, ub, basis0, vstat0, art_sign0, phase0)
 
 
 def solve_batched(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int, mesh: Mesh = None):
@@ -83,6 +83,7 @@ def solve_batched(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int, mesh: Mesh 
             jnp_asarray_i32(out.basis),
             jnp_asarray_i32(out.vstat)[:, :n_cols],
             out.art_sign,
+            jnp_asarray_i32(out.phase),
             cfg=cfg,
             max_iter=min(chunk, max_iter - done),
         )

@@ -96,7 +96,7 @@ def _nonbasic_values(vstat, lb_tot, ub_tot):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def solve_core(
     A, b, c, lb, ub, cfg: SolverConfig, max_iter: int, basis0=None, vstat0=None,
-    slack_of_row=None, art_sign0=None,
+    slack_of_row=None, art_sign0=None, phase0=None,
 ) -> SolveOutput:
     """Solve  min c@x  s.t.  A@x == b, lb <= x <= ub  (all float64, padded).
 
@@ -210,7 +210,10 @@ def solve_core(
             Binv=jnp.eye(m, dtype=f),  # placeholder; refactor fires first
             pi=jnp.zeros(m, f),
             art_sign=art_sign_w,
-            phase=jnp.int32(1),  # transition check flips to 2 immediately
+            # resumed phase carries over (chunked continuation); fresh warm
+            # starts begin in phase 1 and transition after their first
+            # refactorization computes the true artificial mass
+            phase=jnp.int32(1) if phase0 is None else phase0.astype(jnp.int32),
             status=jnp.int32(st.RUNNING),
             it=jnp.int32(0),
             since_refactor=jnp.int32(cfg.refactor_period),  # force refactor

@@ -166,6 +166,7 @@ def solve_computational_form(
                 basis0=np.asarray(out.basis, np.int32),
                 vstat0=np.asarray(out.vstat, np.int32)[:n_pad],
                 art_sign0=np.asarray(out.art_sign),
+                phase0=np.asarray(out.phase, np.int32),
             )
 
     status = int(out.status)
