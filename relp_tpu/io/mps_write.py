@@ -49,6 +49,11 @@ def write_mps(general: GeneralForm) -> str:
         for i, v in zip(csc.indices[s:e], csc.data[s:e]):
             if v != 0.0:
                 pairs.append((general.row_names[int(i)], float(v)))
+        if not pairs:
+            # a variable with zero cost and no matrix entries must still
+            # appear in COLUMNS or its BOUNDS lines fail to re-parse
+            # ("Column not known"); a zero cost entry is a no-op
+            pairs.append(("COST", 0.0))
         for k in range(0, len(pairs), 2):
             chunk = pairs[k : k + 2]
             body = "   ".join(f"{rn:<10}{_num(v):>15}" for rn, v in chunk)
@@ -84,10 +89,12 @@ def write_mps(general: GeneralForm) -> str:
             bound_lines.append(f" FR BND       {var.name}")
             continue
         if math.isinf(lo) and lo < 0:
-            # MI implies an explicit upper bound of 0 in the reader; emit
-            # MI plus an explicit UP when the upper differs
+            # the reader (mps_convert) keeps the upper at +inf for bare MI
+            # (GLPK semantics), so every finite upper must be written
+            # explicitly — including 0 — or the roundtrip silently relaxes
+            # (-inf, hi] to (-inf, +inf)
             bound_lines.append(f" MI BND       {var.name}")
-            if hi != 0.0:
+            if not math.isinf(hi):
                 bound_lines.append(f" UP BND       {var.name:<10}{_num(hi):>15}")
             continue
         if lo != 0.0:

@@ -224,9 +224,69 @@ class GeneralForm:
         ordered = [(n, values[n]) for n in sorted(values)]
         return Solution(objective_value=cost, solution_values=ordered)
 
+    def resolve_removed_where_possible(self) -> List[str]:
+        """Resolve removed-variable records to explicit constants wherever
+        their dependencies are already solved, *in place* — even when the
+        problem is not fully presolved (reference
+        ``compute_solution_where_possible``, general_form/mod.rs:728-771,
+        which rewrites ``FunctionOfOthers`` to ``Solved`` values).
+
+        A record depending (transitively) on a still-active variable stays
+        symbolic.  Returns the names newly resolved by this call.
+        """
+        active = set(v.name for v in self.variables)
+        resolved: Dict[str, Optional[float]] = {}
+
+        def value_of(name: str) -> Optional[float]:
+            if name in active:
+                return None
+            if name in resolved:
+                return resolved[name]
+            entry = self.removed_variables.get(name)
+            if entry is None:
+                return None
+            resolved[name] = None  # cycle guard (is_consistent forbids cycles)
+            if isinstance(entry, LinearCombination):
+                acc = entry.constant
+                for dep, coeff in entry.terms:
+                    dv = value_of(dep)
+                    if dv is None:
+                        return None
+                    acc += coeff * dv
+                resolved[name] = acc
+            elif hasattr(entry, "coefficient"):  # SlackValue
+                t = 0.0
+                for dep, coeff in entry.terms:
+                    dv = value_of(dep)
+                    if dv is None:
+                        return None
+                    t += coeff * dv
+                a = (entry.row_lower - t) / entry.coefficient
+                bnd = (entry.row_upper - t) / entry.coefficient
+                lo, hi = (a, bnd) if a <= bnd else (bnd, a)
+                lo, hi = max(lo, entry.lower), min(hi, entry.upper)
+                resolved[name] = (
+                    0.5 * (lo + hi) if lo > hi else min(max(0.0, lo), hi)
+                )
+            else:
+                resolved[name] = float(entry)
+            return resolved[name]
+
+        changed = []
+        for name, entry in list(self.removed_variables.items()):
+            if isinstance(entry, float):
+                continue
+            v = value_of(name)
+            if v is not None:
+                self.removed_variables[name] = v
+                changed.append(name)
+        return changed
+
     def compute_solution_where_possible(self) -> Optional[Solution]:
         """If no active variables remain (presolve solved the problem), emit
-        the full solution (reference general_form/mod.rs:728-806)."""
+        the full solution (reference ``get_solution``,
+        general_form/mod.rs:789-806); resolves removable records first."""
+        self.resolve_removed_where_possible()
         if self.nr_variables > 0:
             return None
         return self.compute_full_solution({})

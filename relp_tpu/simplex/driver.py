@@ -205,9 +205,11 @@ def _solve_trivial(cf: ComputationalForm) -> SimplexResult:
     if cf.n == 0:
         # no variables at all: feasible iff b ≈ 0 on every (equality) row
         if cf.m == 0 or np.all(np.abs(cf.b) <= 1e-9):
+            # fixed_cost is stored in the ORIGINAL objective sense everywhere
+            # (objective_of, compute_full_solution) — no sign flip here
             return SimplexResult(
                 kind=LinearProgramType.FINITE_OPTIMUM,
-                objective=-cf.fixed_cost if cf.maximize else cf.fixed_cost,
+                objective=cf.fixed_cost,
                 x_structural=np.zeros(0),
             )
         return SimplexResult(kind=LinearProgramType.INFEASIBLE)
@@ -421,7 +423,11 @@ def solve_general_forms_batched(
                 kind=kind,
                 iterations=int(outs.it[s_i]),
                 art_residual=float(outs.art_inf[s_i]),
-                duals=np.asarray(outs.pi[s_i])[: cf.m],
+                # same unscaling/sign convention as the single-solve path:
+                # duals documented as ORIGINAL row units
+                duals=(-1.0 if cf.maximize else 1.0)
+                * np.asarray(outs.pi[s_i])[: cf.m]
+                * cf.row_scale,
             )
             if kind is LinearProgramType.FINITE_OPTIMUM:
                 x_scaled = np.asarray(outs.x[s_i])[: cf.n]

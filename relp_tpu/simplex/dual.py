@@ -35,14 +35,25 @@ INF = jnp.inf
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def solve_core_dual(
-    A, b, c, lb, ub, basis0, vstat0, cfg: SolverConfig, max_iter: int
+    A, b, c, lb, ub, basis0, vstat0, cfg: SolverConfig, max_iter: int,
+    art_sign0=None,
 ) -> SolveOutput:
     """Dual simplex from a dual-feasible warm basis (padded arrays as in
     ``solve_core``).  If the start is not dual feasible the method may stop
     at a dual-infeasible point — callers should fall back to the primal
-    core on a NUMERICAL/ITERATION_LIMIT outcome."""
+    core on a NUMERICAL/ITERATION_LIMIT outcome.
+
+    ``art_sign0`` carries the artificial column signs of a prior primal
+    solve (``SolveOutput.art_sign``): the primal engine's artificial columns
+    are *signed* ±e_i, and a basis containing a sign-−1 artificial (e.g. on
+    a redundant row) must be refactorized with that sign or B is wrong on
+    those rows.
+    """
     m, n = A.shape
     f = A.dtype
+    art_sign = (
+        jnp.ones(m, f) if art_sign0 is None else art_sign0.astype(f)
+    )
 
     lb_tot = jnp.concatenate([lb, jnp.zeros(m, f)])
     ub_tot = jnp.concatenate([ub, jnp.zeros(m, f)])
@@ -79,7 +90,7 @@ def solve_core_dual(
         is_art = s.basis >= n
         struct_cols = jnp.take(A, jnp.clip(s.basis, 0, n - 1), axis=1)
         k = jnp.clip(s.basis - n, 0, m - 1)
-        art_cols = (jnp.arange(m)[:, None] == k[None, :]).astype(f)
+        art_cols = (jnp.arange(m)[:, None] == k[None, :]) * art_sign[k][None, :]
         B = jnp.where(is_art[None, :], art_cols, struct_cols)
         if cfg.newton_refactor:
             Binv, min_piv = robust_inverse(B)
@@ -217,5 +228,5 @@ def solve_core_dual(
         art_inf=art_inf,
         pi=final.pi,
         obj=c @ x,
-        art_sign=jnp.ones(m, f),
+        art_sign=art_sign,
     )

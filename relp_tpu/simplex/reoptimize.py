@@ -39,15 +39,18 @@ def reoptimize_with_bounds(
     # nonbasic statuses must remain consistent with the new bounds
     vstat0 = _repair_statuses(vstat0, new_lb, new_ub)
 
+    art_sign0 = np.asarray(prior.art_sign, np.float64)
+
     out = solve_core_dual(
-        A, b, c, new_lb, new_ub, basis0, vstat0, cfg=config, max_iter=max_iter
+        A, b, c, new_lb, new_ub, basis0, vstat0, cfg=config, max_iter=max_iter,
+        art_sign0=art_sign0,
     )
     if int(out.status) == st.OPTIMAL:
         return out
     # dual failed (e.g. start was not dual feasible): warm primal
     out = solve_core(
         A, b, c, new_lb, new_ub, cfg=config, max_iter=max_iter,
-        basis0=basis0, vstat0=vstat0,
+        basis0=basis0, vstat0=vstat0, art_sign0=art_sign0,
     )
     if int(out.status) in (st.OPTIMAL, st.UNBOUNDED, st.INFEASIBLE):
         return out
