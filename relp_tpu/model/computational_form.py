@@ -49,7 +49,9 @@ class ComputationalForm:
     by ``x_original = x_scaled * col_scale``.
     """
 
-    A: np.ndarray  # (m, n) float64, scaled
+    A: sp.csc_matrix  # (m, n) float64, scaled (sparse CSC; the reference's
+    #                    L1 is sparse end-to-end, matrix.rs:23-77 — the device
+    #                    representation is chosen later by the driver)
     b: np.ndarray  # (m,)
     c: np.ndarray  # (n,)
     lb: np.ndarray  # (n,)
@@ -121,7 +123,7 @@ def build_computational_form(
     transform_variables/make_b_non_negative steps (bounds handled natively).
     """
     m, n_s = general.A.shape
-    A_struct = general.A.toarray()
+    A_struct = general.A.tocsc()
 
     slack_rows: List[int] = []
     slack_lb: List[float] = []
@@ -143,10 +145,17 @@ def build_computational_form(
 
     n_slack = len(slack_rows)
     n = n_s + n_slack
-    A = np.zeros((m, n), dtype=np.float64)
-    A[:, :n_s] = A_struct
     if n_slack:
-        A[np.array(slack_rows), n_s + np.arange(n_slack)] = 1.0
+        S = sp.csc_matrix(
+            (
+                np.ones(n_slack),
+                (np.array(slack_rows), np.arange(n_slack)),
+            ),
+            shape=(m, n_slack),
+        )
+        A = sp.hstack([A_struct, S], format="csc")
+    else:
+        A = A_struct.copy()
 
     orig_cost = np.array([v.cost for v in general.variables], dtype=np.float64)
     c = np.zeros(n, dtype=np.float64)
@@ -175,7 +184,9 @@ def build_computational_form(
         row_scale, col_scale = _equilibrate_sparse(
             rows_all[keep], cols_all[keep], data_all[keep], m, n
         )
-        A_scaled = A * row_scale[:, None] * col_scale[None, :]
+        A_scaled = (
+            sp.diags(row_scale) @ A @ sp.diags(col_scale)
+        ).tocsc()
     else:
         A_scaled = A
         row_scale = np.ones(m)

@@ -1,0 +1,218 @@
+"""Device representations of the constraint matrix A.
+
+The reference's entire linear-algebra layer is sparse
+(``src/data/linear_algebra/matrix.rs:23-77``, ``vector/sparse.rs:27-33``);
+round 1 of this framework used a fully dense padded device matrix, which
+caps the scale at a few thousand rows (O(m·n) HBM and pricing FLOPs per
+iteration).  This module is the SURVEY §2.2/§7 plan — "dense-blocked
+CSR/ELL/padded-COO device arrays … for SpMV/FTRAN/BTRAN" — realized as two
+interchangeable pytree classes the jitted engine consumes through one small
+operator interface:
+
+- :class:`DenseMatrix` — the round-1 layout: A (f64) plus an optional f32
+  copy for MXU pricing.  Best for small/dense pools where fused matvecs
+  beat gather arithmetic.
+- :class:`EllMatrix` — column-major ELL: per column up to K nonzeros,
+  padded with (row 0, value 0).  ``data[n, K]`` (f64), ``rows[n, K]``
+  (i32).  Every engine access pattern becomes O(nnz)-ish gather/scatter
+  arithmetic instead of O(m·n) dense work:
+
+    pricing   πᵀA        → sum_k π[rows[:,k]]·data[:,k]      (n·K)
+    FTRAN     B⁻¹a_q     → B⁻¹[:, rows[q]] @ data[q]          (m·K)
+    devex row B⁻¹[r]·A   → sum_k B⁻¹[r][rows[:,k]]·data[:,k]  (n·K)
+    SpMV      A@x        → scatter-add data·x into rows       (nnz)
+    refactor  B gather   → scatter K nnz per basis column     (m·K)
+
+  TPU note: these are gathers/scatters on the VPU, not MXU matmuls — but
+  for Netlib-sparse problems (density ≪ 1%) they beat emulated-f64 dense
+  matvecs by orders of magnitude and cut HBM residency from O(m·n) to
+  O(nnz), which is what unlocks DFL001/STOCFOR3-class instances.
+
+Both classes are registered as JAX pytrees so they pass straight through
+``jax.jit``/``jax.vmap``; the engine dispatches on the Python type at trace
+time (the TPU-native analogue of the reference's compile-time
+``MatrixProvider`` static dispatch).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+class DenseMatrix:
+    """Dense padded A with an optional f32 shadow for MXU pricing."""
+
+    def __init__(self, A, A32=None):
+        self.A = A
+        self.A32 = A32
+
+    def tree_flatten(self):
+        return (self.A, self.A32), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return self.A.shape
+
+    @property
+    def dtype(self):
+        return self.A.dtype
+
+    def with_f32(self) -> "DenseMatrix":
+        if self.A32 is not None:
+            return self
+        return DenseMatrix(self.A, self.A.astype(jnp.float32))
+
+    # -- operator interface --------------------------------------------------
+
+    def matvec(self, x):
+        """A @ x (f64)."""
+        return self.A @ x
+
+    def rmatvec(self, pi):
+        """πᵀ A (f64)."""
+        return pi @ self.A
+
+    def rmatvec32(self, v32):
+        """v32ᵀ A in f32 (MXU path); v32 must be f32."""
+        return v32 @ self.A32
+
+    def col(self, q):
+        """Dense column a_q."""
+        return jnp.take(self.A, q, axis=1)
+
+    def ftran(self, Binv, q):
+        """B⁻¹ a_q."""
+        return Binv @ self.col(q)
+
+    def col_dot(self, pi, q):
+        """πᵀ a_q (scalar, f64)."""
+        return pi @ self.col(q)
+
+    def entries(self, rows_i, cols_j):
+        """Elementwise A[rows_i[k], cols_j[k]]."""
+        return self.A[rows_i, cols_j]
+
+    def cols_matrix(self, idx):
+        """Gather the (m, len(idx)) matrix of columns ``idx``."""
+        return jnp.take(self.A, idx, axis=1)
+
+
+@jax.tree_util.register_pytree_node_class
+class EllMatrix:
+    """Column-major ELL: ``data[n, K]`` f64 values, ``rows[n, K]`` i32 row
+    indices; padding slots carry (row 0, value 0) so every op treats them
+    as harmless zero contributions.  ``m`` is static aux data."""
+
+    def __init__(self, data, rows, m: int, data32=None):
+        self.data = data
+        self.rows = rows
+        self.m = m
+        self.data32 = data32
+
+    def tree_flatten(self):
+        return (self.data, self.rows, self.data32), (self.m,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        data, rows, data32 = children
+        return cls(data, rows, aux[0], data32)
+
+    @property
+    def shape(self):
+        return (self.m, self.data.shape[0])
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def with_f32(self) -> "EllMatrix":
+        if self.data32 is not None:
+            return self
+        return EllMatrix(
+            self.data, self.rows, self.m, self.data.astype(jnp.float32)
+        )
+
+    # -- operator interface --------------------------------------------------
+
+    def matvec(self, x):
+        contrib = self.data * x[:, None]
+        return jnp.zeros(self.m, self.dtype).at[self.rows].add(contrib)
+
+    def rmatvec(self, pi):
+        return jnp.sum(jnp.take(pi, self.rows) * self.data, axis=1)
+
+    def rmatvec32(self, v32):
+        return jnp.sum(jnp.take(v32, self.rows) * self.data32, axis=1)
+
+    def col(self, q):
+        rq = jnp.take(self.rows, q, axis=0)
+        dq = jnp.take(self.data, q, axis=0)
+        return jnp.zeros(self.m, self.dtype).at[rq].add(dq)
+
+    def ftran(self, Binv, q):
+        rq = jnp.take(self.rows, q, axis=0)
+        dq = jnp.take(self.data, q, axis=0)
+        return jnp.take(Binv, rq, axis=1) @ dq
+
+    def col_dot(self, pi, q):
+        rq = jnp.take(self.rows, q, axis=0)
+        dq = jnp.take(self.data, q, axis=0)
+        return jnp.take(pi, rq) @ dq
+
+    def entries(self, rows_i, cols_j):
+        rj = jnp.take(self.rows, cols_j, axis=0)  # (k, K)
+        dj = jnp.take(self.data, cols_j, axis=0)
+        return jnp.sum(jnp.where(rj == rows_i[:, None], dj, 0.0), axis=1)
+
+    def cols_matrix(self, idx):
+        m = self.m
+        rows_b = jnp.take(self.rows, idx, axis=0)  # (k, K)
+        data_b = jnp.take(self.data, idx, axis=0)
+        cols_b = jnp.broadcast_to(
+            jnp.arange(idx.shape[0])[:, None], rows_b.shape
+        )
+        return (
+            jnp.zeros((m, idx.shape[0]), self.dtype)
+            .at[rows_b, cols_b]
+            .add(data_b)
+        )
+
+
+def as_amatrix(A):
+    """Wrap a raw array as :class:`DenseMatrix`; pass matrices through."""
+    if isinstance(A, (DenseMatrix, EllMatrix)):
+        return A
+    return DenseMatrix(A)
+
+
+def ell_from_csc(
+    csc, m_pad: int, n_pad: int, k_pad: int | None = None
+) -> EllMatrix:
+    """Build padded ELL host arrays from a scipy CSC matrix.
+
+    ``k_pad`` caps/pads the per-column nonzero count (defaults to the true
+    maximum); distinct (n_pad, K) shapes compile distinct programs, so
+    callers should bucket ``k_pad`` like the other padded dims.
+    """
+    m, n = csc.shape
+    assert m <= m_pad and n <= n_pad
+    counts = np.diff(csc.indptr)
+    k_true = int(counts.max()) if n else 1
+    K = max(1, k_pad if k_pad is not None else k_true)
+    assert k_true <= K, f"column with {k_true} nnz exceeds K={K}"
+    data = np.zeros((n_pad, K), dtype=np.float64)
+    rows = np.zeros((n_pad, K), dtype=np.int32)
+    nnz = csc.indptr[-1]
+    if nnz:
+        col_of = np.repeat(np.arange(n), counts)
+        pos = np.arange(nnz) - np.repeat(csc.indptr[:-1], counts)
+        data[col_of, pos] = csc.data
+        rows[col_of, pos] = csc.indices
+    return EllMatrix(data, rows, m_pad)

@@ -45,6 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from relp_tpu.ops.amatrix import as_amatrix
 from relp_tpu.ops.linalg import gauss_jordan_inverse, robust_inverse
 from relp_tpu.simplex import status as st
 from relp_tpu.utils.config import SolverConfig
@@ -109,6 +110,9 @@ def solve_core(
     inverse is refactorized from the given columns; a singular warm basis
     falls back to a phase-1 repair automatically.
     """
+    A = as_amatrix(A)  # DenseMatrix or EllMatrix (trace-time dispatch — the
+    #                    TPU analogue of the reference's MatrixProvider
+    #                    static dispatch, matrix_provider/mod.rs:37-136)
     m, n = A.shape
     f = A.dtype
 
@@ -119,7 +123,8 @@ def solve_core(
     can_enter = (lb < ub)  # fixed + padded columns never enter
     col_ids = jnp.arange(n)
     need_a32 = cfg.mixed_pricing or cfg.pricing == "devex"
-    A32 = A.astype(jnp.float32) if need_a32 else None
+    if need_a32:
+        A = A.with_f32()
 
     if basis0 is None:
         # ---- cold start: all-artificial basis (reference `Fully` kind) ----
@@ -134,7 +139,7 @@ def solve_core(
             [vstat0_n, jnp.full(m, st.BASIC, jnp.int32)]
         ).astype(jnp.int32)
         x0 = _nonbasic_values(vstat_full[:n], lb, ub)
-        r0 = b - A @ x0
+        r0 = b - A.matvec(x0)
         art_sign = jnp.where(r0 >= 0, 1.0, -1.0).astype(f)
 
         if slack_of_row is not None:
@@ -146,7 +151,7 @@ def solve_core(
             rows_i = jnp.arange(m)
             has_slack = slack_of_row >= 0
             scj = jnp.clip(slack_of_row, 0, n - 1)
-            coeff = A[rows_i, scj]
+            coeff = A.entries(rows_i, scj)
             ok_coeff = jnp.abs(coeff) > 1e-12
             # exclude the slack's own nonbasic contribution from the residual
             r_excl = r0 + jnp.where(has_slack, coeff * x0[scj], 0.0)
@@ -201,7 +206,7 @@ def solve_core(
         else:
             x0w = _nonbasic_values(vstat_full[:n], lb, ub)
             x0w = jnp.where(vstat_full[:n] == st.BASIC, 0.0, x0w)
-            r0w = b - A @ x0w
+            r0w = b - A.matvec(x0w)
             art_sign_w = jnp.where(r0w >= 0, 1.0, -1.0).astype(f)
         state0 = State(
             basis=basis0.astype(jnp.int32),
@@ -246,7 +251,7 @@ def solve_core(
         vstat = jnp.where(vs_all == st.BASIC, demote, vs_all).astype(jnp.int32)
         vstat = vstat.at[n:].set(st.BASIC)
         x0 = _nonbasic_values(vstat[:n], lb, ub)
-        r0 = b - A @ x0
+        r0 = b - A.matvec(x0)
         sign = jnp.where(r0 >= 0, 1.0, -1.0).astype(A.dtype)
         return s._replace(
             basis=n + jnp.arange(m, dtype=jnp.int32),
@@ -269,7 +274,7 @@ def solve_core(
     # ---- refactorization ----
     def refactor(s: State) -> State:
         is_art = s.basis >= n
-        struct_cols = jnp.take(A, jnp.clip(s.basis, 0, n - 1), axis=1)  # (m, m)
+        struct_cols = A.cols_matrix(jnp.clip(s.basis, 0, n - 1))  # (m, m)
         k = jnp.clip(s.basis - n, 0, m - 1)
         art_cols = (jnp.arange(m)[:, None] == k[None, :]) * s.art_sign[k][None, :]
         B = jnp.where(is_art[None, :], art_cols, struct_cols)
@@ -281,7 +286,7 @@ def solve_core(
         def rebuild(s: State) -> State:
             nb = _nonbasic_values(s.vstat, lb_tot, ub_tot_p2)
             nb = jnp.where(s.vstat == st.BASIC, 0.0, nb)
-            r = b - A @ nb[:n]  # nonbasic artificials sit at 0
+            r = b - A.matvec(nb[:n])  # nonbasic artificials sit at 0
             xB = Binv @ r
             phase1_here = s.phase == 1
             c_eff_here = jnp.where(phase1_here, jnp.zeros_like(c), c)
@@ -376,7 +381,7 @@ def solve_core(
             return q, viol[q] > 0
 
         def price_f64(_):
-            d = c_eff - pi @ A
+            d = c_eff - A.rmatvec(pi)
             q, has = select_entering(d)
             return q, has, d[q]
 
@@ -387,9 +392,11 @@ def solve_core(
             # or its candidate fails confirmation (rare: near optimality).
             # Exact termination semantics are preserved — OPTIMAL is only
             # ever declared off the f64 path.
-            d32 = (c_eff.astype(jnp.float32) - (pi.astype(jnp.float32) @ A32)).astype(f)
+            d32 = (
+                c_eff.astype(jnp.float32) - A.rmatvec32(pi.astype(jnp.float32))
+            ).astype(f)
             q32, has32 = select_entering(d32)
-            d_q64 = c_eff[q32] - pi @ jnp.take(A, q32, axis=1)
+            d_q64 = c_eff[q32] - A.col_dot(pi, q32)
             confirmed = has32 & (
                 jnp.where(
                     (vs[q32] == st.NB_UPPER), d_q64 > cfg.eps_dual, d_q64 < -cfg.eps_dual
@@ -416,8 +423,7 @@ def solve_core(
             -1.0,
             jnp.where(vs[q] == st.NB_FREE, -jnp.sign(d_q), 1.0),
         )
-        a_q = jnp.take(A, q, axis=1)
-        u = s.Binv @ a_q       # FTRAN
+        u = A.ftran(s.Binv, q)  # B⁻¹ a_q
         ut = t * u
 
         k = s.basis
@@ -513,7 +519,7 @@ def solve_core(
             # All intermediates are clamped well below ~1e38: f64 on this
             # TPU is emulated, and huge-but-finite values in this update
             # were implicated in hardware faults deep into long solves.
-            alpha = (s.Binv[r].astype(jnp.float32) @ A32).astype(f)
+            alpha = A.rmatvec32(s.Binv[r].astype(jnp.float32)).astype(f)
             inv_p = 1.0 / jnp.where(jnp.abs(p) > 1e-12, p, 1.0)
             ratio2 = jnp.minimum((alpha * inv_p) ** 2, 1e8)
             wq = jnp.minimum(s.w[q], 1e8)
@@ -612,11 +618,11 @@ def solve_core(
     B_f = jnp.where(
         is_art_f[None, :],
         (jnp.arange(m)[:, None] == k_f[None, :]) * final.art_sign[k_f][None, :],
-        jnp.take(A, jnp.clip(final.basis, 0, n - 1), axis=1),
+        A.cols_matrix(jnp.clip(final.basis, 0, n - 1)),
     )
     nb_f = _nonbasic_values(final.vstat, lb_tot, ub_tot_p2)
     nb_f = jnp.where(final.vstat == st.BASIC, 0.0, nb_f)
-    r_f = b - A @ nb_f[:n]
+    r_f = b - A.matvec(nb_f[:n])
     resid = r_f - B_f @ final.xB
     final = final._replace(xB=final.xB + final.Binv @ resid)
 

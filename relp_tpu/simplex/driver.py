@@ -14,6 +14,7 @@ from typing import Dict, Optional
 
 import jax
 import numpy as np
+import scipy.sparse as sp
 
 from relp_tpu.model.computational_form import ComputationalForm
 from relp_tpu.model.elements import LinearProgramType
@@ -64,6 +65,32 @@ def _bucket(x: int, floor: int) -> int:
     return v
 
 
+def _device_matrix(cf: ComputationalForm, m_pad: int, n_pad: int, config: SolverConfig):
+    """Choose and build the device representation of A (ops/amatrix.py).
+
+    Dense keeps the round-1 fused-matvec path; ELL stores per-column nonzeros
+    and replaces every O(m·n) access with O(nnz)-ish gathers — the scale
+    unlock for DFL001/STOCFOR3-class instances.  "auto" picks ELL when the
+    maximum per-column fill K is small relative to m (otherwise the gather
+    arithmetic loses to one big MXU matvec) and the problem is large enough
+    that per-iteration dense FLOPs dominate dispatch overhead.
+    """
+    from relp_tpu.ops.amatrix import ell_from_csc
+
+    csc = sp.csc_matrix(cf.A)
+    fmt = config.matrix_format
+    counts = np.diff(csc.indptr)
+    k_true = int(counts.max()) if counts.size else 1
+    if fmt == "auto":
+        fmt = "ell" if (m_pad >= 1024 and k_true * 8 <= m_pad) else "dense"
+    if fmt == "ell":
+        k_pad = _bucket(max(k_true, 1), 8)
+        return ell_from_csc(csc, m_pad, n_pad, k_pad)
+    A = np.zeros((m_pad, n_pad), dtype=np.float64)
+    A[: cf.m, : cf.n] = csc.toarray()
+    return A
+
+
 def solve_computational_form(
     cf: ComputationalForm,
     config: SolverConfig = DEFAULT_CONFIG,
@@ -86,8 +113,7 @@ def solve_computational_form(
         m_pad = _round_up(m, config.row_align)
         n_pad = _round_up(n, config.col_align)
 
-    A = np.zeros((m_pad, n_pad), dtype=np.float64)
-    A[:m, :n] = cf.A
+    A = _device_matrix(cf, m_pad, n_pad, config)
     b = np.zeros(m_pad, dtype=np.float64)
     b[:m] = cf.b
     c = np.zeros(n_pad, dtype=np.float64)
@@ -409,7 +435,7 @@ def solve_general_forms_batched(
         lb = np.zeros((batch, n_pad))
         ub = np.zeros((batch, n_pad))
         for s_i, (_, _, cf) in enumerate(device_jobs):
-            A[s_i, : cf.m, : cf.n] = cf.A
+            A[s_i, : cf.m, : cf.n] = sp.csc_matrix(cf.A).toarray()
             b[s_i, : cf.m] = cf.b
             c[s_i, : cf.n] = cf.c
             lb[s_i, : cf.n] = cf.lb

@@ -75,6 +75,14 @@ class SolverConfig:
     # cost; reference `SteepestDescent`, pivot_rule.rs:97-127) or "bland".
     pricing: str = "devex"
 
+    # Device representation of A: "dense" (padded f64 + f32 shadow — best
+    # for small/dense pools where fused MXU matvecs win), "ell" (column-major
+    # ELL sparse — O(nnz) gather pricing/FTRAN, unlocks DFL001/STOCFOR3-class
+    # sizes where O(m·n) dense work and HBM are prohibitive; the TPU analogue
+    # of the reference's sparse L1, matrix.rs:23-77), or "auto" (by size and
+    # per-column fill).
+    matrix_format: str = "auto"
+
     # Apply geometric-mean equilibration scaling before solving.
     scale: bool = True
 

@@ -78,8 +78,8 @@ def test_conversion_pipeline():
     assert cf.slack_rows.tolist() == [0, 1]
     assert cf.lb.tolist() == [0.0, -1.0, 0.0, 0.0, -INF]
     assert cf.ub.tolist() == [4.0, INF, INF, INF, 0.0]
-    assert cf.A[:, 3].tolist() == [1.0, 0.0, 0.0]
-    assert cf.A[:, 4].tolist() == [0.0, 1.0, 0.0]
+    assert cf.A.toarray()[:, 3].tolist() == [1.0, 0.0, 0.0]
+    assert cf.A.toarray()[:, 4].tolist() == [0.0, 1.0, 0.0]
 
     # --- stage 4: solve + reconstruct ---
     # optimum: x2 at its lower bound -1 forces x3 = 6 via the equality;

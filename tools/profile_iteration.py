@@ -13,7 +13,7 @@ cf = build_computational_form(gf)
 m, n = cf.m, cf.n
 mp, npad = _bucket(m, 64), _bucket(n, 256)
 print(f"shape ({m},{n}) -> ({mp},{npad})", flush=True)
-A = np.zeros((mp, npad)); A[:m,:n] = cf.A
+A = np.zeros((mp, npad)); A[:m,:n] = cf.A.toarray()
 b = np.zeros(mp); b[:m] = cf.b
 c = np.zeros(npad); c[:n] = cf.c
 lb = np.zeros(npad); ub = np.zeros(npad)

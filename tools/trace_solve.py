@@ -9,7 +9,7 @@ from relp_tpu.utils.config import SolverConfig
 gf = import_lp('/root/reference/tests/netlib/problem_files/25FV47.SIF')
 presolve(gf); cf = build_computational_form(gf)
 mp, npad = _bucket(cf.m, 64), _bucket(cf.n, 256)
-A = np.zeros((mp, npad)); A[:cf.m,:cf.n] = cf.A
+A = np.zeros((mp, npad)); A[:cf.m,:cf.n] = cf.A.toarray()
 b = np.zeros(mp); b[:cf.m] = cf.b
 c = np.zeros(npad); c[:cf.n] = cf.c
 lb = np.zeros(npad); ub = np.zeros(npad); lb[:cf.n] = cf.lb; ub[:cf.n] = cf.ub
