@@ -143,7 +143,8 @@ struct Parser {
       // skip blank / comment
       size_t ws = 0;
       while (ws < len && isspace((unsigned char)buf[ws])) ws++;
-      if (ws == len || buf[ws] == '*') continue;
+      // '&' in column 1 is a SIF comment-continuation line (Kennington files)
+      if (ws == len || buf[ws] == '*' || buf[0] == '&') continue;
 
       bool header = !isspace((unsigned char)buf[0]);
       if (header) {

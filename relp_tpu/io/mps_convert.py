@@ -144,16 +144,20 @@ def _compute_constraints(mps: MPS):
     m = len(mps.rows)
 
     # --- flatten + validate ranges ---
-    # Within one range set a duplicate row is inconsistent (reference
-    # compute_ranges, convert.rs:337); across *different* sets the first
-    # set's value wins (GLPK-style superset — the reference rejects).
+    # Within one range set a duplicate row with a DIFFERENT value is
+    # inconsistent; an equal duplicate is accepted — the semantic the
+    # reference leaves unimplemented (burkardt empstest is #[ignore]d with
+    # "The same range value occurring twice for a single row while being
+    # equal should be accepted", tests/burkardt/test.rs fn empstest;
+    # reference compute_ranges, convert.rs:337, rejects both).  Across
+    # *different* sets the first set's value wins (GLPK-style superset).
     range_by_row: Dict[int, float] = {}
     for rng in mps.ranges:
-        seen_in_set: set = set()
+        seen_in_set: Dict[int, float] = {}
         for i, r in rng.values:
-            if i in seen_in_set:
+            if i in seen_in_set and seen_in_set[i] != r:
                 raise InconsistencyError("Only one range per row can be specified.")
-            seen_in_set.add(i)
+            seen_in_set[i] = r
             if i not in range_by_row:
                 range_by_row[i] = r
 

@@ -39,10 +39,12 @@ FIXED_FIELDS = [(0, 1), (1, 3), (4, 12), (14, 22), (24, 36), (39, 47), (49, 61)]
 
 
 def _lines(text: str) -> Iterator[Tuple[int, str]]:
-    """Meaningful (line_number, line) pairs: skip blanks and '*' comments."""
+    """Meaningful (line_number, line) pairs: skip blanks, '*' comments and
+    SIF '&' comment-continuation lines (column 1; used by the Kennington
+    netlib files, e.g. KEN-07.SIF line 12)."""
     for i, raw in enumerate(text.splitlines(), start=1):
         line = raw.rstrip("\r\n")
-        if not line.strip() or line.lstrip().startswith("*"):
+        if not line.strip() or line.lstrip().startswith("*") or line.startswith("&"):
             continue
         yield i, line
 

@@ -72,6 +72,12 @@ class State(NamedTuple):
     bland: jax.Array          # bool — Bland's rule active
     repairs: jax.Array        # i32 — singular-basis repairs performed
     w: jax.Array              # f64[n] — devex reference weights (≈‖B⁻¹a_j‖²)
+    etaZ: jax.Array           # f64[m, T] — pending eta block in COMPOSED form:
+    #                           current B⁻¹ = (I + etaZ·P^T)·Binv with P's
+    #                           columns e_{etaR[i]} (cfg.inverse == "eta";
+    #                           T=1 dummy otherwise)
+    etaR: jax.Array           # i32[T] — pivot rows of the pending etas
+    eta_count: jax.Array      # i32 — live pending etas
 
 
 class SolveOutput(NamedTuple):
@@ -122,6 +128,13 @@ def solve_core(
 
     can_enter = (lb < ub)  # fixed + padded columns never enter
     col_ids = jnp.arange(n)
+    use_eta = cfg.inverse == "eta"
+    T = cfg.eta_block if use_eta else 1
+    eta0 = dict(
+        etaZ=jnp.zeros((m, T), f),
+        etaR=jnp.zeros(T, jnp.int32),
+        eta_count=jnp.int32(0),
+    )
     need_a32 = cfg.mixed_pricing or cfg.pricing == "devex"
     if need_a32:
         A = A.with_f32()
@@ -191,6 +204,7 @@ def solve_core(
             bland=jnp.bool_(cfg.pricing == "bland"),
             repairs=jnp.int32(0),
             w=jnp.ones(n, f),
+            **eta0,
         )
     else:
         # ---- warm start from a caller-provided basis (may include
@@ -226,6 +240,7 @@ def solve_core(
             bland=jnp.bool_(cfg.pricing == "bland"),
             repairs=jnp.int32(0),
             w=jnp.ones(n, f),
+            **eta0,
         )
 
     def art_mass(s: State):
@@ -269,6 +284,22 @@ def solve_core(
                 s.repairs + 1 > 3, st.NUMERICAL, s.status
             ).astype(jnp.int32),
             w=jnp.ones(n, A.dtype),
+            **eta0,
+        )
+
+    # ---- block product-form fold (cfg.inverse == "eta") ----
+    # The pending block is kept composed: B⁻¹_cur = (I + Z·Pᵀ)·Binv, so the
+    # fold is one (m,T)@(T,m) matmul — MXU work with B⁻¹'s HBM traffic paid
+    # once per eta_block pivots instead of every pivot (the reference folds
+    # at refactorization only because its updates stay as a sequential eta
+    # file, lower_upper/mod.rs:157-230).
+    def fold_etas(s: State) -> State:
+        Binv = s.Binv + s.etaZ @ jnp.take(s.Binv, s.etaR, axis=0)
+        return s._replace(
+            Binv=Binv,
+            etaZ=jnp.zeros_like(s.etaZ),
+            etaR=jnp.zeros_like(s.etaR),
+            eta_count=jnp.int32(0),
         )
 
     # ---- refactorization ----
@@ -302,7 +333,8 @@ def solve_core(
             # devex reference-framework reset once weights have grown large
             w = jnp.where(jnp.max(s.w) > 1e6, jnp.ones_like(s.w), s.w)
             return s._replace(
-                Binv=Binv, xB=xB, pi=pi, w=w, since_refactor=jnp.int32(0)
+                Binv=Binv, xB=xB, pi=pi, w=w, since_refactor=jnp.int32(0),
+                **eta0,
             )
 
         return lax.cond(min_piv < cfg.singular_tol, repair, rebuild, s)
@@ -321,6 +353,8 @@ def solve_core(
         # ill-conditioned basis already routes through the Gauss-Jordan
         # minimal-pivot check into repair.
         binv_mag = jnp.max(jnp.abs(s.Binv))
+        if use_eta:
+            binv_mag = jnp.maximum(binv_mag, jnp.max(jnp.abs(s.etaZ)))
         state_sum = jnp.sum(s.xB) + jnp.sum(s.pi)
         broken = (
             ~jnp.isfinite(state_sum)
@@ -337,6 +371,10 @@ def solve_core(
         )
 
         s = lax.cond(s.since_refactor >= cfg.refactor_period, refactor, lambda s: s, s)
+        if use_eta:
+            # fold the pending eta block once it is full (must run before a
+            # pivot could need slot T; a refactorization above resets it)
+            s = lax.cond(s.eta_count >= T, fold_etas, lambda s: s, s)
 
         # phase transition: artificial mass numerically zero => real costs.
         # Evaluated AFTER the refactorization branch and only on a fresh
@@ -424,6 +462,9 @@ def solve_core(
             jnp.where(vs[q] == st.NB_FREE, -jnp.sign(d_q), 1.0),
         )
         u = A.ftran(s.Binv, q)  # B⁻¹ a_q
+        if use_eta:
+            # current inverse = (I + Z·Pᵀ)·Binv → u += Z·u[etaR]
+            u = u + s.etaZ @ jnp.take(u, s.etaR)
         ut = t * u
 
         k = s.basis
@@ -487,8 +528,20 @@ def solve_core(
         xB_piv = xB_moved.at[r].set(start_val + t * theta_safe)
         p = u[r]
         p_safe = jnp.where(jnp.abs(p) > 0, p, 1.0)
-        w = s.Binv[r] / p_safe
-        Binv_piv = (s.Binv - u[:, None] * w[None, :]).at[r].set(w)
+        if use_eta:
+            # row r of the CURRENT inverse (Binv + pending etas)
+            cur_row_r = s.Binv[r] + s.etaZ[r] @ jnp.take(s.Binv, s.etaR, axis=0)
+        else:
+            cur_row_r = s.Binv[r]
+        w = cur_row_r / p_safe
+        if use_eta:
+            # push the new eta z = (e_r − u)/p in composed form:
+            #   E_new·(I + Z·Pᵀ) = I + (Z + z⊗Z[r,:])·Pᵀ + z·e_rᵀ
+            z = (-u / p_safe).at[r].add(1.0 / p_safe)
+            Zc = s.etaZ + z[:, None] * s.etaZ[r][None, :]
+            Zc = Zc.at[:, s.eta_count].set(z)
+        else:
+            Binv_piv = (s.Binv - u[:, None] * w[None, :]).at[r].set(w)
 
         kr = k[r]
         leave_stat = jnp.where(
@@ -507,7 +560,14 @@ def solve_core(
         )
 
         xB_new = jnp.where(is_pivot, xB_piv, jnp.where(is_flip, xB_moved, s.xB))
-        Binv_new = jnp.where(is_pivot, Binv_piv, s.Binv)
+        if use_eta:
+            Binv_new = s.Binv
+            etaZ_new = jnp.where(is_pivot, Zc, s.etaZ)
+            etaR_new = jnp.where(is_pivot, s.etaR.at[s.eta_count].set(r), s.etaR)
+            eta_count_new = s.eta_count + is_pivot.astype(jnp.int32)
+        else:
+            Binv_new = jnp.where(is_pivot, Binv_piv, s.Binv)
+            etaZ_new, etaR_new, eta_count_new = s.etaZ, s.etaR, s.eta_count
         basis_new = jnp.where(is_pivot, s.basis.at[r].set(q), s.basis)
         pi_new = jnp.where(is_pivot, s.pi + d_q * w, s.pi)
 
@@ -519,7 +579,7 @@ def solve_core(
             # All intermediates are clamped well below ~1e38: f64 on this
             # TPU is emulated, and huge-but-finite values in this update
             # were implicated in hardware faults deep into long solves.
-            alpha = A.rmatvec32(s.Binv[r].astype(jnp.float32)).astype(f)
+            alpha = A.rmatvec32(cur_row_r.astype(jnp.float32)).astype(f)
             inv_p = 1.0 / jnp.where(jnp.abs(p) > 1e-12, p, 1.0)
             ratio2 = jnp.minimum((alpha * inv_p) ** 2, 1e8)
             wq = jnp.minimum(s.w[q], 1e8)
@@ -584,6 +644,9 @@ def solve_core(
             status=status_new.astype(jnp.int32),
             xB=xB_new,
             Binv=Binv_new,
+            etaZ=etaZ_new,
+            etaR=etaR_new,
+            eta_count=eta_count_new,
             basis=basis_new,
             pi=pi_new,
             w=w_new,

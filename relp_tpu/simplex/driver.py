@@ -55,6 +55,12 @@ def _bucket(x: int, floor: int) -> int:
     cap padding waste at 33% (pure powers of two waste up to 2× — painful
     when the per-iteration cost is O(m²)).
     """
+    if x > 8192:
+        # Very large problems: geometric steps would waste up to 50% of an
+        # O(m²)-per-iteration budget (STOCFOR3's m=16617 → 24576).  Problems
+        # this big are rare enough that program-cache pressure is moot; pad
+        # to the next 1024 multiple instead (≤6% waste).
+        return _round_up(x, 1024)
     v = floor
     while v < x:
         k = v // floor

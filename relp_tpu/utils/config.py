@@ -55,6 +55,20 @@ class SolverConfig:
     # numerically singular and triggers a basis repair.
     singular_tol: float = 1e-9
 
+    # Basis-inverse maintenance backend (the reference's Carry<F, BI>
+    # parameterization, inverse_maintenance/carry/lower_upper/mod.rs:35-391):
+    # - "dense": explicit B⁻¹ updated eagerly by one rank-1 outer product per
+    #   pivot (reference BasisInverseRows analogue).  O(m²) HBM traffic per
+    #   pivot — best for small/medium m.
+    # - "eta": block product-form — per pivot an O(m) eta vector is composed
+    #   into an (m × eta_block) pending block (the reference's EtaFile
+    #   algebra, eta_file.rs:14-134, kept in *composed* form so applying it
+    #   is one gather + small matmul, not a sequential scan), folded into
+    #   B⁻¹ every eta_block pivots by ONE (m,T)@(T,m) MXU matmul.  Cuts
+    #   per-pivot HBM traffic by ~eta_block× — the large-m backend.
+    inverse: str = "dense"
+    eta_block: int = 16
+
     # Refactorize via f32 LU seed + f64 Newton-Schulz refinement (matmul
     # heavy, MXU-friendly) with Gauss-Jordan as the ill-conditioned
     # fallback; False forces plain Gauss-Jordan.
