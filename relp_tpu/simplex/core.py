@@ -78,6 +78,13 @@ class State(NamedTuple):
     #                           T=1 dummy otherwise)
     etaR: jax.Array           # i32[T] — pivot rows of the pending etas
     eta_count: jax.Array      # i32 — live pending etas
+    trace: jax.Array          # f32[cap, 8] per-iteration metric ring buffer
+    #                           (cfg.trace_iters; zero-length when off):
+    #                           [phase, cB·xB, art_mass, d_q, theta, events,
+    #                            q, r] with events = pivot|2·flip|4·refresh|
+    #                           8·bland
+    viol: jax.Array           # f64 — worst invariant violation seen by the
+    #                           periodic in-loop check (cfg.check_every_n)
 
 
 class SolveOutput(NamedTuple):
@@ -91,6 +98,8 @@ class SolveOutput(NamedTuple):
     pi: jax.Array       # f64[m] — duals (phase-2 simplex multipliers)
     obj: jax.Array      # f64 — c @ x in the solver's (scaled, min) space
     art_sign: jax.Array # f64[m] — artificial column signs (chunked resume)
+    trace: jax.Array    # f32[cap, 8] — per-iteration metrics (see State)
+    viol: jax.Array     # f64 — worst periodic-invariant violation (0 if off)
 
 
 def _nonbasic_values(vstat, lb_tot, ub_tot):
@@ -130,10 +139,15 @@ def solve_core(
     col_ids = jnp.arange(n)
     use_eta = cfg.inverse == "eta"
     T = cfg.eta_block if use_eta else 1
+    trace_cap = cfg.trace_capacity if cfg.trace_iters else 0
     eta0 = dict(
         etaZ=jnp.zeros((m, T), f),
         etaR=jnp.zeros(T, jnp.int32),
         eta_count=jnp.int32(0),
+    )
+    obs0 = dict(
+        trace=jnp.zeros((trace_cap, 8), jnp.float32),
+        viol=jnp.zeros((), f),
     )
     need_a32 = cfg.mixed_pricing or cfg.pricing == "devex"
     if need_a32:
@@ -205,6 +219,7 @@ def solve_core(
             repairs=jnp.int32(0),
             w=jnp.ones(n, f),
             **eta0,
+            **obs0,
         )
     else:
         # ---- warm start from a caller-provided basis (may include
@@ -241,6 +256,7 @@ def solve_core(
             repairs=jnp.int32(0),
             w=jnp.ones(n, f),
             **eta0,
+            **obs0,
         )
 
     def art_mass(s: State):
@@ -640,6 +656,63 @@ def solve_core(
         status_new = jnp.where(broken, s.status, status_new)
         status_new = jnp.where(s.status != st.RUNNING, s.status, status_new)
 
+        # ---- periodic in-loop invariant check (cfg.check_every_n) ----
+        # Samples the cheap BFS invariants — row residual of the current
+        # point and basic-bound violation — the float analogue of the
+        # reference's every-debug-iteration check (tableau/mod.rs:253-289).
+        if cfg.check_every_n:
+            def compute_viol(_):
+                nbv = _nonbasic_values(s.vstat, lb_tot, ub_tot_p2)
+                nbv = jnp.where(s.vstat == st.BASIC, 0.0, nbv)
+                xx = jnp.zeros(n + 1, f).at[:n].set(nbv[:n])
+                tgt = jnp.where(s.basis < n, s.basis, n)
+                xx = xx.at[tgt].set(jnp.where(s.basis < n, s.xB, 0.0))
+                kk = jnp.clip(s.basis - n, 0, m - 1)
+                artc = jnp.zeros(m, f).at[kk].add(
+                    jnp.where(s.basis >= n, jnp.take(s.art_sign, kk) * s.xB, 0.0)
+                )
+                row_res = jnp.max(jnp.abs(A.matvec(xx[:n]) + artc - b))
+                lbv = jnp.take(lb_tot, s.basis)
+                ubv = jnp.take(ub_tot_p2, s.basis)
+                ubv = jnp.where((s.basis >= n) & phase1, INF, ubv)
+                bviol = jnp.max(
+                    jnp.maximum(jnp.maximum(lbv - s.xB, s.xB - ubv), 0.0)
+                )
+                return jnp.maximum(row_res, bviol)
+
+            fire = (s.it % cfg.check_every_n) == 0
+            v = lax.cond(fire, compute_viol, lambda _: jnp.zeros((), f), None)
+            viol_new = jnp.maximum(s.viol, v)
+        else:
+            viol_new = s.viol
+
+        # ---- per-iteration metric stream (cfg.trace_iters) ----
+        if cfg.trace_iters:
+            cBxB = jnp.where(
+                s.basis >= n, 0.0, jnp.take(c, jnp.clip(s.basis, 0, n - 1))
+            ) @ s.xB
+            events = (
+                is_pivot.astype(jnp.float32)
+                + 2.0 * is_flip.astype(jnp.float32)
+                + 4.0 * (s.since_refactor == 0).astype(jnp.float32)
+                + 8.0 * s.bland.astype(jnp.float32)
+            )
+            row = jnp.stack(
+                [
+                    s.phase.astype(jnp.float32),
+                    cBxB.astype(jnp.float32),
+                    art_mass(s).astype(jnp.float32),
+                    d_q.astype(jnp.float32),
+                    theta_safe.astype(jnp.float32),
+                    events,
+                    q.astype(jnp.float32),
+                    r.astype(jnp.float32),
+                ]
+            )
+            trace_new = s.trace.at[jnp.minimum(s.it, trace_cap - 1)].set(row)
+        else:
+            trace_new = s.trace
+
         return s._replace(
             status=status_new.astype(jnp.int32),
             xB=xB_new,
@@ -647,6 +720,8 @@ def solve_core(
             etaZ=etaZ_new,
             etaR=etaR_new,
             eta_count=eta_count_new,
+            trace=trace_new,
+            viol=viol_new,
             basis=basis_new,
             pi=pi_new,
             w=w_new,
@@ -713,4 +788,6 @@ def solve_core(
         pi=pi,
         obj=c @ x,
         art_sign=final.art_sign,
+        trace=final.trace,
+        viol=final.viol,
     )

@@ -36,6 +36,9 @@ class SimplexResult:
     art_residual: float = 0.0
     metrics: Optional["SolveMetrics"] = None
     duals: Optional[np.ndarray] = None  # row duals in ORIGINAL row units
+    trace: Optional[np.ndarray] = None  # (iters, 8) per-iteration stream
+    #                                     (config.trace_iters; see core.State)
+    check_violation: float = 0.0  # worst periodic-invariant violation
 
     @property
     def is_optimal(self) -> bool:
@@ -139,11 +142,30 @@ def solve_computational_form(
 
         config = _dc.replace(config, mixed_pricing=False)
 
+    def _host_art_sign(vstat0):
+        """Artificial signs from the nonbasic-point residual, computed on
+        host so every solve_core call shares ONE trace signature (the
+        in-trace art_sign0-is-None branch would otherwise make cold starts
+        and chunked continuations compile two distinct programs — each
+        distinct program costs minutes through the TPU remote-compile
+        tunnel)."""
+        at_lower = (vstat0 == st.NB_LOWER) | (vstat0 == st.NB_FIXED)
+        at_upper = vstat0 == st.NB_UPPER
+        x0 = np.where(at_lower, lb, np.where(at_upper, ub, 0.0))
+        x0 = np.where(vstat0 == st.BASIC, 0.0, x0)
+        r0 = b.copy()
+        r0[:m] -= np.asarray(sp.csc_matrix(cf.A) @ x0[: cf.n])
+        return np.where(r0 >= 0, 1.0, -1.0)
+
     warm_kwargs = {}
     if warm_start_builder is not None:
         basis0, vstat0 = warm_start_builder(m_pad, n_pad)
+        vstat0 = np.asarray(vstat0, np.int32)
         warm_kwargs = dict(
-            basis0=np.asarray(basis0, np.int32), vstat0=np.asarray(vstat0, np.int32)
+            basis0=np.asarray(basis0, np.int32),
+            vstat0=vstat0,
+            art_sign0=_host_art_sign(vstat0),
+            phase0=np.int32(1),
         )
     elif config.crash_basis and len(cf.slack_rows):
         # slack crash (reference PartialInitialBasis): slack column of each
@@ -171,6 +193,8 @@ def solve_computational_form(
         warm_kwargs = dict(
             basis0=(n_pad + np.arange(m_pad, dtype=np.int32)),
             vstat0=vstat_cold,
+            art_sign0=_host_art_sign(vstat_cold),
+            phase0=np.int32(1),
         )
 
     # Long solves run as bounded device calls continued via warm start:
@@ -184,6 +208,8 @@ def solve_computational_form(
     if m_pad > 1024:
         chunk = max(500, int(chunk * (1024.0 / m_pad) ** 2))
     total_done = 0
+    traces = []
+    worst_viol = 0.0
     with Timer() as t:
         while True:
             this_chunk = min(chunk, max_iter - total_done)
@@ -192,6 +218,9 @@ def solve_computational_form(
             )
             out = jax.block_until_ready(out)
             total_done += int(out.it)
+            worst_viol = max(worst_viol, float(out.viol))
+            if config.trace_iters:
+                traces.append(np.asarray(out.trace)[: int(out.it)])
             if int(out.status) != st.ITERATION_LIMIT or total_done >= max_iter:
                 break
             warm_kwargs = dict(
@@ -214,6 +243,16 @@ def solve_computational_form(
         art_residual=float(out.art_inf),
         phase=int(out.phase),
     )
+    trace_arr = np.concatenate(traces) if traces else None
+    if trace_arr is not None and len(trace_arr):
+        events = trace_arr[:, 5].astype(np.int64)
+        is_piv = (events & 1) == 1
+        metrics.pivots = int(is_piv.sum())
+        metrics.bound_flips = int(((events >> 1) & 1).sum())
+        metrics.refresh_iters = int(((events >> 2) & 1).sum())
+        metrics.bland_iters = int(((events >> 3) & 1).sum())
+        metrics.degenerate_steps = int((is_piv & (trace_arr[:, 4] <= 1e-11)).sum())
+    metrics.check_violation = worst_viol
     metrics.emit()
     # duals back in original row units: scaled rows are r_i·(a_i x) = r_i b_i,
     # so y_orig = y_scaled · r_i; a maximization flips the internal sign
@@ -224,6 +263,8 @@ def solve_computational_form(
         art_residual=float(out.art_inf),
         metrics=metrics,
         duals=sense * np.asarray(out.pi)[:m] * cf.row_scale,
+        trace=trace_arr,
+        check_violation=worst_viol,
     )
     if kind is LinearProgramType.FINITE_OPTIMUM:
         x_scaled = np.asarray(out.x)[:n]

@@ -11,10 +11,15 @@ periodic refactorization; the dual update reuses the identity
 
 Per iteration:
   1. leaving row r: largest bound violation of xB (OPTIMAL when none),
-  2. pivot row α = B⁻¹[r]·A, entering q by the dual ratio test
-     min |d_j/α_j| over sign-compatible nonbasic columns (primal
-     INFEASIBLE when none — the dual is unbounded),
-  3. pivot: FTRAN u = B⁻¹a_q, update xB/B⁻¹/π/statuses.
+  2. pivot row α = B⁻¹[r]·A and the **bound-flipping dual ratio test**
+     (BFRT, "long step"): candidates sorted by |d_j/α_j|; passing a boxed
+     candidate flips it to its opposite bound and reduces the rate at which
+     row r's infeasibility shrinks by (ub_j−lb_j)·|α_j| — the entering q is
+     the candidate at which that slope crosses zero, with a Harris-style
+     tolerance picking the largest |α| among near-ties (primal INFEASIBLE
+     when no candidate exists — the dual is unbounded),
+  3. batch-apply the flips (one SpMV + FTRAN), then pivot: u = B⁻¹a_q,
+     update xB/B⁻¹/π/statuses.
 """
 
 from __future__ import annotations
@@ -25,6 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from relp_tpu.ops.amatrix import as_amatrix
 from relp_tpu.ops.linalg import gauss_jordan_inverse, robust_inverse
 from relp_tpu.simplex import status as st
 from relp_tpu.simplex.core import SolveOutput, _nonbasic_values
@@ -49,6 +55,7 @@ def solve_core_dual(
     a redundant row) must be refactorized with that sign or B is wrong on
     those rows.
     """
+    A = as_amatrix(A)
     m, n = A.shape
     f = A.dtype
     art_sign = (
@@ -57,6 +64,7 @@ def solve_core_dual(
 
     lb_tot = jnp.concatenate([lb, jnp.zeros(m, f)])
     ub_tot = jnp.concatenate([ub, jnp.zeros(m, f)])
+    boxed_range = ub - lb  # flip capacity of each column (INF when unboxed)
 
     from typing import NamedTuple
 
@@ -70,6 +78,7 @@ def solve_core_dual(
         it: jax.Array
         since_refactor: jax.Array
         repairs: jax.Array
+        flips: jax.Array  # i32 — total bound flips applied by the BFRT
 
     vstat_full = jnp.concatenate(
         [vstat0.astype(jnp.int32), jnp.full(m, st.NB_LOWER, jnp.int32)]
@@ -84,11 +93,12 @@ def solve_core_dual(
         it=jnp.int32(0),
         since_refactor=jnp.int32(cfg.refactor_period),  # refactor first
         repairs=jnp.int32(0),
+        flips=jnp.int32(0),
     )
 
     def refactor(s: DState) -> DState:
         is_art = s.basis >= n
-        struct_cols = jnp.take(A, jnp.clip(s.basis, 0, n - 1), axis=1)
+        struct_cols = A.cols_matrix(jnp.clip(s.basis, 0, n - 1))
         k = jnp.clip(s.basis - n, 0, m - 1)
         art_cols = (jnp.arange(m)[:, None] == k[None, :]) * art_sign[k][None, :]
         B = jnp.where(is_art[None, :], art_cols, struct_cols)
@@ -98,7 +108,7 @@ def solve_core_dual(
             Binv, min_piv = gauss_jordan_inverse(B)
         nb = _nonbasic_values(s.vstat, lb_tot, ub_tot)
         nb = jnp.where(s.vstat == st.BASIC, 0.0, nb)
-        r = b - A @ nb[:n]
+        r = b - A.matvec(nb[:n])
         xB = Binv @ r
         cB = jnp.where(is_art, 0.0, jnp.take(c, jnp.clip(s.basis, 0, n - 1)))
         pi = cB @ Binv
@@ -127,8 +137,8 @@ def solve_core_dual(
 
         # pivot row and reduced costs
         rho = s.Binv[r]
-        alpha = rho @ A
-        d = c - s.pi @ A
+        alpha = A.rmatvec(rho)
+        d = c - A.rmatvec(s.pi)
         vs = s.vstat[:n]
 
         leaving_below = below[r] > above[r]  # xB_r under its lower bound
@@ -140,23 +150,74 @@ def solve_core_dual(
         at_u = (vs == st.NB_UPPER) | (vs == st.NB_FREE)
         cand = ((at_l & (alpha_eff < -cfg.eps_pivot)) | (at_u & (alpha_eff > cfg.eps_pivot)))
         cand = cand & (lb < ub) & (vs != st.BASIC)
-        ratio = jnp.where(cand, jnp.abs(d) / jnp.maximum(jnp.abs(alpha), 1e-300), INF)
-        q = jnp.argmin(ratio).astype(jnp.int32)
-        has_entering = jnp.isfinite(ratio[q])
+        abs_alpha = jnp.abs(alpha_eff)
+        ratio = jnp.where(cand, jnp.abs(d) / jnp.maximum(abs_alpha, 1e-300), INF)
+
+        # ---- bound-flipping ratio test (long-step dual, vectorized) ----
+        # Sorted by ratio, passing candidate j reduces the rate at which row
+        # r's infeasibility shrinks by its flip capacity (ub_j−lb_j)·|α_j|;
+        # q is where the remaining slope crosses 0.  Unboxed candidates have
+        # infinite capacity and always block.
+        order = jnp.argsort(jnp.where(cand, ratio, INF))
+        cap = jnp.where(cand, boxed_range * abs_alpha, 0.0)
+        cap_sorted = jnp.take(cap, order)
+        cand_sorted = jnp.take(cand, order)
+        slope_after = viol[r] - jnp.cumsum(cap_sorted)
+        blocked = cand_sorted & (slope_after <= 0)
+        any_block = jnp.any(blocked)
+        kq_block = jnp.argmax(blocked)  # first True (0 if none)
+
+        # Harris-style tie tolerance: among candidates at sorted positions
+        # ≤ blocker whose ratio is within the dual tolerance of the
+        # blocker's, take the largest |α| (stability; mirrors the primal
+        # Harris pass 2).
+        ratio_sorted = jnp.where(cand_sorted, jnp.take(ratio, order), INF)
+        ratio_block = ratio_sorted[kq_block]
+        pos_ids = jnp.arange(n)
+        near = (
+            cand_sorted
+            & (pos_ids <= kq_block)
+            & (ratio_sorted >= ratio_block - cfg.eps_dual)
+        )
+        kq = jnp.argmax(jnp.where(near, jnp.take(abs_alpha, order), -1.0))
+        q = order[kq].astype(jnp.int32)
+        has_entering = any_block & jnp.isfinite(ratio_sorted[kq])
+
+        # flips: all candidates strictly before the chosen position
+        flip_sorted = cand_sorted & (pos_ids < kq)
+        flip_mask = jnp.zeros(n, bool).at[order].set(flip_sorted)
+        n_flips = jnp.sum(flip_mask).astype(jnp.int32)
 
         # pivot quantities
-        a_q = jnp.take(A, q, axis=1)
-        u = s.Binv @ a_q
+        u = A.ftran(s.Binv, q)
         p = u[r]
+        ok_pivot = jnp.abs(p) > cfg.eps_pivot
         p_safe = jnp.where(jnp.abs(p) > 1e-300, p, 1.0)
+
+        do_pivot = (~primal_feasible) & has_entering & (~broken) & ok_pivot
+
+        # ---- apply the batch of bound flips: one SpMV + one FTRAN ----
+        def with_flips(xB):
+            dx = jnp.where(
+                flip_mask,
+                jnp.where(vs == st.NB_LOWER, boxed_range, -boxed_range),
+                0.0,
+            )
+            return xB - s.Binv @ A.matvec(dx)
+
+        xB_f = lax.cond(
+            do_pivot & (n_flips > 0), with_flips, lambda xB: xB, s.xB
+        )
+        flip_to = jnp.where(vs == st.NB_LOWER, st.NB_UPPER, st.NB_LOWER)
+        vstat_flip = jnp.where(flip_mask, flip_to, vs).astype(jnp.int32)
+
         bound_r = jnp.where(leaving_below, lbk[r], ubk[r])
-        theta_p = (s.xB[r] - bound_r) / p_safe
+        theta_p = (xB_f[r] - bound_r) / p_safe
         start_val = jnp.where(
             vs[q] == st.NB_UPPER, ub[q], jnp.where(vs[q] == st.NB_LOWER, lb[q], 0.0)
         )
 
-        do_pivot = (~primal_feasible) & has_entering & (~broken)
-        xB_new = s.xB - theta_p * u
+        xB_new = xB_f - theta_p * u
         xB_new = xB_new.at[r].set(start_val + theta_p)
         w_row = s.Binv[r] / p_safe
         Binv_new = (s.Binv - u[:, None] * w_row[None, :]).at[r].set(w_row)
@@ -168,7 +229,9 @@ def solve_core_dual(
             jnp.take(lb_tot, kr) == jnp.take(ub_tot, kr), st.NB_FIXED, leave_stat
         )
         vstat_new = (
-            s.vstat.at[kr].set(leave_stat.astype(jnp.int32)).at[q].set(st.BASIC)
+            s.vstat.at[:n].set(vstat_flip)
+            .at[kr].set(leave_stat.astype(jnp.int32))
+            .at[q].set(st.BASIC)
         )
 
         status_new = jnp.where(
@@ -181,7 +244,10 @@ def solve_core_dual(
             ),
         )
         wants_terminal = primal_feasible | ((~primal_feasible) & (~has_entering))
-        force_refac = (wants_terminal & ~fresh) | broken
+        # a too-small pivot is a numerical event: rebuild and retry
+        force_refac = (wants_terminal & ~fresh) | broken | (
+            (~primal_feasible) & has_entering & ~ok_pivot
+        )
 
         return DState(
             basis=jnp.where(do_pivot, s.basis.at[r].set(q), s.basis),
@@ -197,6 +263,7 @@ def solve_core_dual(
                 s.since_refactor + do_pivot.astype(jnp.int32),
             ).astype(jnp.int32),
             repairs=s.repairs,
+            flips=s.flips + jnp.where(do_pivot, n_flips, 0),
         )
 
     def cond(s: DState):
@@ -229,4 +296,6 @@ def solve_core_dual(
         pi=final.pi,
         obj=c @ x,
         art_sign=art_sign,
+        trace=jnp.zeros((0, 8), jnp.float32),
+        viol=jnp.zeros((), f),
     )

@@ -35,9 +35,12 @@ class StateCheck(NamedTuple):
 
 @jax.jit
 def check_state(A, b, c, lb, ub, basis, vstat, xB, Binv, art_sign) -> StateCheck:
+    from relp_tpu.ops.amatrix import as_amatrix
+
+    A = as_amatrix(A)
     m, n = A.shape
     is_art = basis >= n
-    struct_cols = jnp.take(A, jnp.clip(basis, 0, n - 1), axis=1)
+    struct_cols = A.cols_matrix(jnp.clip(basis, 0, n - 1))
     k = jnp.clip(basis - n, 0, m - 1)
     art_cols = (jnp.arange(m)[:, None] == k[None, :]) * art_sign[k][None, :]
     B = jnp.where(is_art[None, :], art_cols, struct_cols)
@@ -54,7 +57,7 @@ def check_state(A, b, c, lb, ub, basis, vstat, xB, Binv, art_sign) -> StateCheck
 
     cB = jnp.where(is_art, 0.0, jnp.take(c, jnp.clip(basis, 0, n - 1)))
     pi = cB @ Binv
-    d = c - pi @ A
+    d = c - A.rmatvec(pi)
     basic_mask = vstat[:n] == st.BASIC
     basis_reduced_cost = jnp.max(jnp.where(basic_mask, jnp.abs(d), 0.0))
 
@@ -69,6 +72,6 @@ def check_state(A, b, c, lb, ub, basis, vstat, xB, Binv, art_sign) -> StateCheck
     art_contrib = jnp.zeros(m, A.dtype).at[k].add(
         jnp.where(is_art, jnp.take(art_sign, k) * xB, 0.0)
     )
-    row_residual = jnp.max(jnp.abs(A @ x_pad[:n] + art_contrib - b))
+    row_residual = jnp.max(jnp.abs(A.matvec(x_pad[:n]) + art_contrib - b))
 
     return StateCheck(inverse_residual, bound_violation, basis_reduced_cost, row_residual)

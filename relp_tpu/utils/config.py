@@ -79,6 +79,22 @@ class SolverConfig:
     # emulated on TPU, so this is the dominant per-iteration FLOP saving.
     mixed_pricing: bool = True
 
+    # Record a per-iteration metric stream on device (phase, partial
+    # objective, artificial mass, reduced cost, step, entering/leaving
+    # indices, event bits) into a bounded ring buffer returned with the
+    # solve — the structured observability the reference lacks entirely
+    # (SURVEY §5) and the basis of the perf-hunt tooling.  Buffer length is
+    # trace_capacity (>= one device chunk).
+    trace_iters: bool = False
+    trace_capacity: int = 8192
+
+    # Every N iterations, recompute the cheap BFS invariants in-loop (row
+    # residual of the current point, basic-bound violation) and carry the
+    # worst value into the solve output — the float-world analogue of the
+    # reference's every-debug-iteration is_in_basic_feasible_solution_state
+    # (tableau/mod.rs:253-289, called at phase_one.rs:136).  0 = off.
+    check_every_n: int = 0
+
     # Switch to Bland's rule after this many consecutive degenerate pivots
     # (anti-cycling; the reference relies on Bland tie-breaking plus exact
     # arithmetic, tableau/mod.rs:221-247).

@@ -35,6 +35,14 @@ class SolveMetrics:
     n_padded: int = 0
     art_residual: float = 0.0
     phase: int = 0
+    # per-iteration stream aggregates (config.trace_iters; 0 when off)
+    pivots: int = 0
+    bound_flips: int = 0
+    refresh_iters: int = 0
+    bland_iters: int = 0
+    degenerate_steps: int = 0
+    # worst periodic in-loop invariant violation (config.check_every_n)
+    check_violation: float = 0.0
 
     @property
     def iters_per_s(self) -> float:
