@@ -45,6 +45,25 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--write-mps", metavar="FILE", help="export the (presolved) problem and exit"
     )
+    ap.add_argument(
+        "--mesh-cols",
+        type=int,
+        default=1,
+        metavar="N",
+        help="shard the column pool over N devices (-1 = all visible)",
+    )
+    ap.add_argument(
+        "--matrix-format",
+        choices=["auto", "dense", "ell"],
+        default="auto",
+        help="device layout of A (auto picks by size/sparsity)",
+    )
+    ap.add_argument(
+        "--inverse",
+        choices=["dense", "eta"],
+        default="dense",
+        help="basis-inverse backend (eta = block product-form, large m)",
+    )
     args = ap.parse_args(argv)
 
     config = SolverConfig(
@@ -53,6 +72,9 @@ def main(argv=None) -> int:
         presolve=not args.no_presolve,
         pricing=args.pricing,
         refactor_period=args.refactor,
+        mesh_cols=args.mesh_cols,
+        matrix_format=args.matrix_format,
+        inverse=args.inverse,
     )
 
     t0 = time.perf_counter()

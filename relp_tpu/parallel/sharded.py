@@ -23,11 +23,28 @@ from relp_tpu.utils.config import SolverConfig
 
 
 def shard_inputs(mesh: Mesh, A, b, c, lb, ub):
-    """Place the problem arrays: A/c/lb/ub column-sharded, b replicated."""
-    col_sharding = NamedSharding(mesh, P(None, "cols"))
+    """Place the problem arrays: A/c/lb/ub column-sharded, b replicated.
+
+    ``A`` may be a raw dense array (columns = axis 1) or an
+    :class:`~relp_tpu.ops.amatrix.EllMatrix` (columns = axis 0 of its
+    data/rows leaves — each device holds its column block's nonzeros)."""
+    from relp_tpu.ops.amatrix import EllMatrix
+
     vec_sharding = NamedSharding(mesh, P("cols"))
     rep = NamedSharding(mesh, P())
-    A = jax.device_put(np.asarray(A, np.float64), col_sharding)
+    if isinstance(A, EllMatrix):
+        ell_sharding = NamedSharding(mesh, P("cols", None))
+        A = EllMatrix(
+            jax.device_put(np.asarray(A.data), ell_sharding),
+            jax.device_put(np.asarray(A.rows), ell_sharding),
+            A.m,
+            None
+            if A.data32 is None
+            else jax.device_put(np.asarray(A.data32), ell_sharding),
+        )
+    else:
+        col_sharding = NamedSharding(mesh, P(None, "cols"))
+        A = jax.device_put(np.asarray(A, np.float64), col_sharding)
     b = jax.device_put(np.asarray(b, np.float64), rep)
     c = jax.device_put(np.asarray(c, np.float64), vec_sharding)
     lb = jax.device_put(np.asarray(lb, np.float64), vec_sharding)
@@ -40,7 +57,7 @@ def solve_sharded(mesh: Mesh, A, b, c, lb, ub, cfg: SolverConfig, max_iter: int)
 
     The device count along 'cols' must divide the (padded) column count.
     """
-    n = np.asarray(A).shape[1]
+    n = A.shape[1] if hasattr(A, "m") else np.asarray(A).shape[1]
     n_shards = mesh.shape["cols"]
     if n % n_shards != 0:
         raise ValueError(f"column count {n} not divisible by 'cols' axis size {n_shards}")

@@ -113,6 +113,13 @@ class SolverConfig:
     # per-column fill).
     matrix_format: str = "auto"
 
+    # Shard the column pool of a SINGLE solve over this many devices along
+    # the mesh's 'cols' axis (pricing-parallel; XLA/GSPMD inserts the
+    # cross-chip argmax/gather collectives).  1 = single device, -1 = all
+    # visible devices.  The padded column count must divide by it (the
+    # col_align=128 buckets divide by any power of two ≤ 128).
+    mesh_cols: int = 1
+
     # Apply geometric-mean equilibration scaling before solving.
     scale: bool = True
 
