@@ -128,6 +128,15 @@ class Presolver:
 
         self.lb = np.array([v.lower for v in general.variables])
         self.ub = np.array([v.upper for v in general.variables])
+        # Speculative activity bounds (reference Updates.activity_bounds,
+        # presolve/updates.rs:27-67): bounds *implied* by constraint
+        # activities.  They sharpen propagation immediately (every
+        # improvement is recorded here, however small) but are promoted
+        # into the REAL bounds self.lb/self.ub — what write_back emits —
+        # only when useful: a meaningful tightening, or the variable had no
+        # finite bound on that side at all.
+        self.act_lb = self.lb.copy()
+        self.act_ub = self.ub.copy()
         self.cost = np.array([v.cost for v in general.variables])
         # minimization-sense costs drive direction decisions (empty columns)
         from relp_tpu.model.elements import Objective
@@ -190,40 +199,79 @@ class Presolver:
             self.q_activity.push(i)
 
     # Chained derived bounds accumulate roundoff far beyond machine eps on
-    # numerically wide instances (PILOT87): only act on *substantial*
-    # improvements and keep a safety margin before declaring infeasibility.
+    # numerically wide instances (PILOT87): promotion to REAL bounds needs a
+    # *substantial* improvement, and infeasibility keeps a safety margin.
     MEANINGFUL = 1e-6
     CROSSING = 1e-7
 
+    def _record_fix(self, j, v):
+        self.lb[j] = self.ub[j] = v
+        self.act_lb[j] = self.act_ub[j] = v
+        self.q_fixed.push(j)
+
+    def _after_bound_change(self, j):
+        """Shared crossing/fixing checks on the activity interval + requeue."""
+        al, au = self.act_lb[j], self.act_ub[j]
+        if al > au + self.CROSSING * (1 + abs(al)):
+            self.result.status = LinearProgramType.INFEASIBLE
+            return
+        if al > au:
+            # tiny crossing within tolerance: snap to the midpoint
+            self._record_fix(j, 0.5 * (al + au))
+        elif (
+            math.isfinite(al)
+            and math.isfinite(au)
+            and au - al <= self.tol * (1 + abs(al))
+        ):
+            self._record_fix(j, 0.5 * (al + au))
+        for i, _ in self.col_entries(j):
+            self.q_activity.push(i)
+
     def _tighten(self, j, lower=None, upper=None) -> bool:
-        """Monotone bound tightening with meaningful-change detection."""
+        """SPECULATIVE (activity-implied) tightening — reference
+        ``Updates.activity_bounds`` (presolve/updates.rs:27-67).  Every
+        beyond-noise improvement is recorded in the activity bounds (so
+        propagation compounds); it is *promoted* into the real variable
+        bounds only when useful — a meaningful tightening, or the variable
+        had no finite bound on that side (was free there)."""
         changed = False
-        if lower is not None and lower > self.lb[j] + self.MEANINGFUL * (1 + abs(lower)):
-            self.lb[j] = lower
+        if lower is not None and lower > self.act_lb[j] + self.tol * (1 + abs(lower)):
+            self.act_lb[j] = lower
             changed = True
-        if upper is not None and upper < self.ub[j] - self.MEANINGFUL * (1 + abs(upper)):
+            if (not math.isfinite(self.lb[j])) or lower > self.lb[j] + self.MEANINGFUL * (
+                1 + abs(lower)
+            ):
+                self.lb[j] = lower
+                self.result.nr_bounds_tightened += 1
+        if upper is not None and upper < self.act_ub[j] - self.tol * (1 + abs(upper)):
+            self.act_ub[j] = upper
+            changed = True
+            if (not math.isfinite(self.ub[j])) or upper < self.ub[j] - self.MEANINGFUL * (
+                1 + abs(upper)
+            ):
+                self.ub[j] = upper
+                self.result.nr_bounds_tightened += 1
+        if changed:
+            self._after_bound_change(j)
+        return changed
+
+    def _impose(self, j, lower=None, upper=None) -> bool:
+        """REAL bound merge from a *removed* constraint (singleton row).
+        Unlike the speculative path this must always be recorded, however
+        small the change — the row carrying the information is gone
+        (reference rule/bound_constraint.rs:26-91 adds real bounds)."""
+        changed = False
+        if lower is not None and lower > self.lb[j]:
+            self.lb[j] = lower
+            self.act_lb[j] = max(self.act_lb[j], lower)
+            changed = True
+        if upper is not None and upper < self.ub[j]:
             self.ub[j] = upper
+            self.act_ub[j] = min(self.act_ub[j], upper)
             changed = True
         if changed:
             self.result.nr_bounds_tightened += 1
-            if self.lb[j] > self.ub[j] + self.CROSSING * (1 + abs(self.lb[j])):
-                self.result.status = LinearProgramType.INFEASIBLE
-            elif self.lb[j] > self.ub[j]:
-                # tiny crossing within tolerance: snap to the midpoint
-                v = 0.5 * (self.lb[j] + self.ub[j])
-                self.lb[j] = self.ub[j] = v
-                self.q_fixed.push(j)
-            elif (
-                math.isfinite(self.lb[j])
-                and math.isfinite(self.ub[j])
-                and self.ub[j] - self.lb[j] <= self.tol * (1 + abs(self.lb[j]))
-            ):
-                # numerically fixed: snap to midpoint
-                v = 0.5 * (self.lb[j] + self.ub[j])
-                self.lb[j] = self.ub[j] = v
-                self.q_fixed.push(j)
-            for i, _ in self.col_entries(j):
-                self.q_activity.push(i)
+            self._after_bound_change(j)
         return changed
 
     # ---- rule 1: fixed variable substitution ------------------------------
@@ -259,16 +307,18 @@ class Presolver:
         if coef < 0:
             lo, hi = hi, lo
         self._deactivate_row(i)
-        self._tighten(j, lower=None if lo == -INF else lo,
-                      upper=None if hi == INF else hi)
-        # even a non-"meaningful" tightening must not lose an equality
         if self.L[i] == self.U[i]:
             v = self.L[i] / coef
-            if v < self.lb[j] - self.tol * (1 + abs(v)) or v > self.ub[j] + self.tol * (1 + abs(v)):
+            if v < self.act_lb[j] - self.tol * (1 + abs(v)) or v > self.act_ub[j] + self.tol * (
+                1 + abs(v)
+            ):
                 self.result.status = LinearProgramType.INFEASIBLE
                 return
-            self.lb[j] = self.ub[j] = v
-            self.q_fixed.push(j)
+            self._record_fix(j, v)
+        else:
+            # REAL bounds: the row is removed, so even a tiny merge must land
+            self._impose(j, lower=None if lo == -INF else lo,
+                         upper=None if hi == INF else hi)
 
     # ---- rule 3: empty columns and implicit slacks ------------------------
 
@@ -298,7 +348,10 @@ class Presolver:
         # Interval view of the reference's whole case table
         # (rule/slack.rs:40-54): [L, U] -= coef * [lb_j, ub_j].
         i, coef = entries[0]
-        l, u = self.lb[j], self.ub[j]
+        # activity bounds: implied-by-constraints, tighter than the real
+        # ones — sharper interval fold (the promotion machinery guarantees
+        # they are valid implications of still-active rows)
+        l, u = self.act_lb[j], self.act_ub[j]
         if coef > 0:
             newL, newU = self.L[i] - coef * u, self.U[i] - coef * l
         else:
@@ -331,8 +384,8 @@ class Presolver:
         smin = smax = 0.0
         n_inf_min = n_inf_max = 0
         for j, c in self.row_entries(i):
-            lo = c * self.lb[j] if c > 0 else c * self.ub[j]
-            hi = c * self.ub[j] if c > 0 else c * self.lb[j]
+            lo = c * self.act_lb[j] if c > 0 else c * self.act_ub[j]
+            hi = c * self.act_ub[j] if c > 0 else c * self.act_lb[j]
             if lo == -INF:
                 n_inf_min += 1
             else:
@@ -368,24 +421,22 @@ class Presolver:
         if amin >= U - tight_U and not n_inf_min and math.isfinite(U):
             # forcing: every variable pinned at its min-activity bound
             for j, c in list(self.row_entries(i)):
-                v = self.lb[j] if c > 0 else self.ub[j]
-                self.lb[j] = self.ub[j] = v
-                self.q_fixed.push(j)
+                v = self.act_lb[j] if c > 0 else self.act_ub[j]
+                self._record_fix(j, v)
             self._deactivate_row(i)
             return
         if amax <= L + tight_L and not n_inf_max and math.isfinite(L):
             for j, c in list(self.row_entries(i)):
-                v = self.ub[j] if c > 0 else self.lb[j]
-                self.lb[j] = self.ub[j] = v
-                self.q_fixed.push(j)
+                v = self.act_ub[j] if c > 0 else self.act_lb[j]
+                self._record_fix(j, v)
             self._deactivate_row(i)
             return
 
         # per-variable residual-activity tightening
         # (domain_propagation.rs:326-455, incl. the 1-missing-bound case)
         for j, c in list(self.row_entries(i)):
-            lo = c * self.lb[j] if c > 0 else c * self.ub[j]
-            hi = c * self.ub[j] if c > 0 else c * self.lb[j]
+            lo = c * self.act_lb[j] if c > 0 else c * self.act_ub[j]
+            hi = c * self.act_ub[j] if c > 0 else c * self.act_lb[j]
             # residual min activity excluding j
             if lo == -INF:
                 res_min = smin if n_inf_min == 1 else -INF
