@@ -83,6 +83,13 @@ class DenseMatrix:
         """v32ᵀ A in f32 (MXU path); v32 must be f32."""
         return v32 @ self.A32
 
+    def rmatvec32_block(self, v32, bstart, bsize: int):
+        """v32ᵀ A[:, bstart:bstart+bsize] (partial pricing; bsize static)."""
+        import jax.lax as lax
+
+        blk = lax.dynamic_slice(self.A32, (0, bstart), (self.A32.shape[0], bsize))
+        return v32 @ blk
+
     def col(self, q):
         """Dense column a_q."""
         return jnp.take(self.A, q, axis=1)
@@ -150,6 +157,14 @@ class EllMatrix:
 
     def rmatvec32(self, v32):
         return jnp.sum(jnp.take(v32, self.rows) * self.data32, axis=1)
+
+    def rmatvec32_block(self, v32, bstart, bsize: int):
+        import jax.lax as lax
+
+        K = self.rows.shape[1]
+        rows_b = lax.dynamic_slice(self.rows, (bstart, 0), (bsize, K))
+        data_b = lax.dynamic_slice(self.data32, (bstart, 0), (bsize, K))
+        return jnp.sum(jnp.take(v32, rows_b) * data_b, axis=1)
 
     def col(self, q):
         rq = jnp.take(self.rows, q, axis=0)

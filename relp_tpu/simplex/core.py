@@ -85,6 +85,8 @@ class State(NamedTuple):
     #                           8·bland
     viol: jax.Array           # f64 — worst invariant violation seen by the
     #                           periodic in-loop check (cfg.check_every_n)
+    pblock: jax.Array         # i32 — current partial-pricing block (rotates
+    #                           block-cyclically; cfg.price_blocks)
 
 
 class SolveOutput(NamedTuple):
@@ -148,6 +150,7 @@ def solve_core(
     obs0 = dict(
         trace=jnp.zeros((trace_cap, 8), jnp.float32),
         viol=jnp.zeros((), f),
+        pblock=jnp.int32(0),
     )
     need_a32 = cfg.mixed_pricing or cfg.pricing == "devex"
     if need_a32:
@@ -414,32 +417,50 @@ def solve_core(
         # effective costs: phase 1 prices the artificial-mass objective
         c_eff = jnp.where(phase1, jnp.zeros_like(c), c)
 
-        # ---- pricing: one fused matvec over the whole column pool,
-        # against the incrementally-maintained duals ----
+        # ---- pricing: one fused matvec over the whole column pool (or one
+        # block of it under partial pricing), against the incrementally-
+        # maintained duals ----
         pi = s.pi
         vs = s.vstat[:n]
 
-        def select_entering(d):
-            imp_l = ((vs == st.NB_LOWER) | (vs == st.NB_FREE)) & (d < -cfg.eps_dual)
-            imp_u = ((vs == st.NB_UPPER) | (vs == st.NB_FREE)) & (d > cfg.eps_dual)
+        def pick(d, vs_, can_, w_, ids_):
+            """Best entering candidate of a (sub)pool; returns (local, has)."""
+            imp_l = ((vs_ == st.NB_LOWER) | (vs_ == st.NB_FREE)) & (d < -cfg.eps_dual)
+            imp_u = ((vs_ == st.NB_UPPER) | (vs_ == st.NB_FREE)) & (d > cfg.eps_dual)
             viol = jnp.where(imp_l, -d, 0.0) + jnp.where(imp_u, d, 0.0)
-            viol = jnp.where(can_enter & (vs != st.BASIC), viol, 0.0)
+            viol = jnp.where(can_ & (vs_ != st.BASIC), viol, 0.0)
             if cfg.pricing == "devex":
                 # devex: maximize d_j² / w_j (approximate steepest edge)
-                score = viol * viol / s.w
+                score = viol * viol / w_
             else:
                 score = viol
-            q_best = jnp.argmax(score)
-            q_bland = jnp.argmin(jnp.where(viol > 0, col_ids, n))
-            q = jnp.where(s.bland, q_bland, q_best).astype(jnp.int32)
-            return q, viol[q] > 0
+            j_best = jnp.argmax(score)
+            # ids_ ascending ⇒ argmin of the masked ids is the local index
+            # of the smallest improving column id (Bland)
+            j_bland = jnp.argmin(jnp.where(viol > 0, ids_, n))
+            j = jnp.where(s.bland, j_bland, j_best).astype(jnp.int32)
+            return j, viol[j] > 0
+
+        def select_entering(d):
+            return pick(d, vs, can_enter, s.w, col_ids)
+
+        def confirm64(qc, has_c):
+            """f64 confirmation of a f32-chosen candidate's reduced cost."""
+            d_q64 = c_eff[qc] - A.col_dot(pi, qc)
+            ok = has_c & (
+                jnp.where(
+                    (vs[qc] == st.NB_UPPER), d_q64 > cfg.eps_dual, d_q64 < -cfg.eps_dual
+                )
+                | ((vs[qc] == st.NB_FREE) & (jnp.abs(d_q64) > cfg.eps_dual))
+            )
+            return d_q64, ok
 
         def price_f64(_):
             d = c_eff - A.rmatvec(pi)
             q, has = select_entering(d)
             return q, has, d[q]
 
-        if cfg.mixed_pricing:
+        def price_full_mixed(_):
             # f64 is emulated on TPU: scan the pool in f32 (MXU-friendly),
             # confirm only the chosen column's reduced cost in f64, and fall
             # back to a full f64 pricing pass when the f32 scan finds nothing
@@ -450,19 +471,43 @@ def solve_core(
                 c_eff.astype(jnp.float32) - A.rmatvec32(pi.astype(jnp.float32))
             ).astype(f)
             q32, has32 = select_entering(d32)
-            d_q64 = c_eff[q32] - A.col_dot(pi, q32)
-            confirmed = has32 & (
-                jnp.where(
-                    (vs[q32] == st.NB_UPPER), d_q64 > cfg.eps_dual, d_q64 < -cfg.eps_dual
-                )
-                | ((vs[q32] == st.NB_FREE) & (jnp.abs(d_q64) > cfg.eps_dual))
-            )
-            q, has_entering, d_q = lax.cond(
+            d_q64, confirmed = confirm64(q32, has32)
+            return lax.cond(
                 confirmed,
                 lambda _: (q32, jnp.bool_(True), d_q64),
                 price_f64,
                 None,
             )
+
+        use_blocks = (
+            cfg.price_blocks > 1 and cfg.mixed_pricing and n % cfg.price_blocks == 0
+        )
+        if use_blocks:
+            # Block-cyclic partial pricing: price only the current block's
+            # columns this iteration; fall back to the full pass when the
+            # block offers no (f64-confirmed) candidate.
+            bsize = n // cfg.price_blocks
+            bstart = s.pblock * bsize
+            c_eff_b = lax.dynamic_slice(c_eff, (bstart,), (bsize,))
+            d32b = (
+                c_eff_b.astype(jnp.float32)
+                - A.rmatvec32_block(pi.astype(jnp.float32), bstart, bsize)
+            ).astype(f)
+            vs_b = lax.dynamic_slice(vs, (bstart,), (bsize,))
+            can_b = lax.dynamic_slice(can_enter, (bstart,), (bsize,))
+            w_b = lax.dynamic_slice(s.w, (bstart,), (bsize,))
+            ids_b = bstart + jnp.arange(bsize)
+            jb, has_b = pick(d32b, vs_b, can_b, w_b, ids_b)
+            qb = (bstart + jb).astype(jnp.int32)
+            d_qb, confirmed_b = confirm64(qb, has_b)
+            q, has_entering, d_q = lax.cond(
+                confirmed_b,
+                lambda _: (qb, jnp.bool_(True), d_qb),
+                price_full_mixed,
+                None,
+            )
+        elif cfg.mixed_pricing:
+            q, has_entering, d_q = price_full_mixed(None)
         else:
             q, has_entering, d_q = price_f64(None)
 
@@ -722,6 +767,9 @@ def solve_core(
             eta_count=eta_count_new,
             trace=trace_new,
             viol=viol_new,
+            pblock=(
+                (s.pblock + 1) % cfg.price_blocks if use_blocks else s.pblock
+            ),
             basis=basis_new,
             pi=pi_new,
             w=w_new,

@@ -100,6 +100,16 @@ class SolverConfig:
     # arithmetic, tableau/mod.rs:221-247).
     bland_trigger: int = 100
 
+    # Partial pricing: split the column pool into this many blocks and
+    # price only one block per iteration (block-cyclic rotation), falling
+    # back to a full scan when the block has no improving candidate — the
+    # SURVEY §7 pivot-rule mapping's "partial pricing = block-cyclic
+    # masking" (the reference's FirstProfitableWithMemory circular scan,
+    # pivot_rule.rs:62-94, is the sequential ancestor).  Requires
+    # mixed_pricing; 1 = full pricing.  Termination is unaffected: OPTIMAL
+    # is only ever declared off a full f64 pass.
+    price_blocks: int = 1
+
     # Pricing rule: "devex" (approximate steepest edge, Harris 1973 —
     # typically 2-3x fewer iterations), "dantzig" (most negative reduced
     # cost; reference `SteepestDescent`, pivot_rule.rs:97-127) or "bland".

@@ -47,3 +47,25 @@ def test_eta_block_boundary():
     res = solve(reference_problem("netlib", "AFIRO.SIF"), config=cfg)
     assert res.kind is LinearProgramType.FINITE_OPTIMUM
     assert res.solution.objective_value == pytest.approx(-464.75314, abs=1e-3)
+
+
+# ---- partial pricing (block-cyclic; SURVEY §7 pivot-rule mapping) ----------
+
+
+@pytest.mark.netlib
+@pytest.mark.parametrize("blocks", [2, 4])
+def test_partial_pricing_matches(blocks):
+    cfg = SolverConfig(price_blocks=blocks)
+    res = solve(reference_problem("netlib", "SHARE1B.SIF"), config=cfg)
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert res.solution.objective_value == pytest.approx(
+        -7.658931857918568e4, abs=1e-3 * 77
+    )
+
+
+@pytest.mark.netlib
+def test_partial_pricing_with_ell_and_eta():
+    cfg = SolverConfig(price_blocks=4, matrix_format="ell", inverse="eta")
+    res = solve(reference_problem("netlib", "ADLITTLE.SIF"), config=cfg)
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert res.solution.objective_value == pytest.approx(2.254949632e05, rel=1e-3)
