@@ -46,6 +46,11 @@ def main(argv=None) -> int:
         "--write-mps", metavar="FILE", help="export the (presolved) problem and exit"
     )
     ap.add_argument(
+        "--mip",
+        action="store_true",
+        help="branch-and-bound on INTEGER (INTORG-marked) variables",
+    )
+    ap.add_argument(
         "--mesh-cols",
         type=int,
         default=1,
@@ -102,7 +107,27 @@ def main(argv=None) -> int:
 
         from relp_tpu.simplex.driver import solve_general_form
 
-        res = solve_general_form(general, config, initial_basis=initial_basis)
+        if args.mip:
+            from relp_tpu.models.branch_bound import solve_mip
+
+            mip = solve_mip(general, config)
+            from relp_tpu.model.solution import Solution
+
+            class _R:  # adapt MipResult to the GeneralFormResult surface
+                kind = mip.kind
+                solution = (
+                    Solution(
+                        objective_value=mip.objective,
+                        solution_values=sorted(mip.values.items()),
+                    )
+                    if mip.values is not None
+                    else None
+                )
+                simplex = None
+
+            res = _R()
+        else:
+            res = solve_general_form(general, config, initial_basis=initial_basis)
     except (OSError, ImportError_) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
