@@ -47,6 +47,11 @@ SUITE_LARGE = [
     "SCORPION", "25FV47", "BNL2", "80BAU3B",
     "GREENBEA", "GREENBEB", "FIT2P", "PILOT87",
 ]
+# the scale tier the round-1 dense engine could not represent at all
+# (VERDICT r01 missing #1): sparse ELL device matrix + block product-form
+# inverse.  Expected objectives: Koch "The final Netlib-LP results",
+# cross-checked against HiGHS on this host (2026-08-17).
+SUITE_XL = ["DFL001", "STOCFOR3"]
 LARGE_EXPECTED = {
     "SCORPION": (1.8781248227381066e3, 1e-2),
     "25FV47": (5.5018459e03, 5.5018459e03 * 1e-5),
@@ -56,13 +61,15 @@ LARGE_EXPECTED = {
     "BNL2": (1.8112365404e3, 1.8112365404e3 * 1e-5),
     "FIT2P": (6.8464293294e4, 6.8464293294e4 * 1e-5),
     "PILOT87": (3.0171034733e2, 3.0171034733e2 * 1e-4),
+    "DFL001": (1.1266396047e7, 1.1266396047e7 * 1e-5),
+    "STOCFOR3": (-3.9976783944e4, 3.9976783944e4 * 1e-5),
 }
 
 # round-1 calibration: the first working engine solved the 19-instance full
 # suite in 27.165 s on a single TPU v5e chip; vs_baseline = speedup over
 # that (higher is better).  The large-suite anchor is the round-1 manual
 # measurement recorded in ROUND1.md (sum of per-instance walls, ~340 s).
-BASELINE_WALL_S = {"small": 4.3, "full": 27.165, "large": 340.0}
+BASELINE_WALL_S = {"small": 4.3, "full": 27.165, "large": 340.0, "xl": None}
 
 # peak dense-compute rate used for the MFU denominator, by device kind.
 # TPU v5e ≈ 197 TFLOP/s bf16 (f32 pricing runs below this; f64 is
@@ -70,10 +77,31 @@ BASELINE_WALL_S = {"small": 4.3, "full": 27.165, "large": 340.0}
 PEAK_FLOPS_BY_KIND = {"TPU v5 lite": 197e12, "TPU v5e": 197e12}
 
 
-def _flops_for(metrics) -> float:
-    """Modeled useful FLOPs for one solve (see module docstring)."""
+def _flops_for(metrics, config) -> float:
+    """Modeled useful FLOPs for one solve (see module docstring).
+
+    With the ELL layout, pricing + devex cost 2·nnz each instead of 2·m·n;
+    with the eta backend the O(m²) inverse fold amortizes over eta_block
+    pivots (plus O(m·T) per-pivot eta work, folded into the constant)."""
     m, n, it = metrics.m_padded, metrics.n_padded, metrics.iterations
-    return float(it) * (4.0 * m * n + 4.0 * m * m)
+    if metrics.matrix_format == "ell" and metrics.nnz:
+        pricing = 4.0 * metrics.nnz
+    else:
+        pricing = 4.0 * m * n
+    inv_div = config.eta_block if config.inverse == "eta" else 1
+    return float(it) * (pricing + 4.0 * m * m / inv_div)
+
+
+def _hbm_bytes(metrics) -> int:
+    """Estimated resident device bytes for the problem's arrays."""
+    m, n = metrics.m_padded, metrics.n_padded
+    binv = 8 * m * m
+    if metrics.matrix_format == "ell" and metrics.nnz:
+        # padded ELL: f64 data + i32 rows + f32 shadow, K·n slots ≥ nnz
+        a_bytes = metrics.nnz * 16 * 2  # generous ×2 for K padding
+    else:
+        a_bytes = m * n * 12  # f64 + f32 shadow
+    return int(binv + a_bytes + 8 * (6 * n + 6 * m))
 
 
 def _highs_wall(paths, verbose=False):
@@ -107,7 +135,13 @@ def _highs_wall(paths, verbose=False):
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--suite", choices=["small", "full", "large"], default="full")
+    ap.add_argument(
+        "--suite", choices=["small", "full", "large", "xl"], default="full"
+    )
+    ap.add_argument(
+        "--inverse", choices=["dense", "eta"], default=None,
+        help="override the inverse backend (xl defaults to eta)",
+    )
     ap.add_argument("--quick", action="store_true", help="3 instances only")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument(
@@ -127,12 +161,16 @@ def main(argv=None) -> int:
     from relp_tpu.simplex.driver import solve_general_form
     from relp_tpu.utils.config import SolverConfig
 
-    names = {"small": SUITE_SMALL, "full": SUITE_FULL, "large": SUITE_LARGE}[
-        args.suite
-    ]
+    names = {
+        "small": SUITE_SMALL,
+        "full": SUITE_FULL,
+        "large": SUITE_LARGE,
+        "xl": SUITE_XL,
+    }[args.suite]
     if args.quick:
         names = names[:3]
-    config = SolverConfig()
+    inverse = args.inverse or ("eta" if args.suite == "xl" else "dense")
+    config = SolverConfig(inverse=inverse)
     base = "/root/reference/tests/netlib/problem_files"
     paths = [(n, f"{base}/{n}.SIF") for n in names]
 
@@ -168,7 +206,7 @@ def main(argv=None) -> int:
         rows_removed += m0 - general.nr_constraints
         cols_removed += n0 - general.nr_variables
         if res.simplex and res.simplex.metrics:
-            total_flops += _flops_for(res.simplex.metrics)
+            total_flops += _flops_for(res.simplex.metrics, config)
         obj = res.solution.objective_value if res.solution else None
         entry = {
             "status": res.kind.value,
@@ -178,6 +216,9 @@ def main(argv=None) -> int:
             "presolve_removed": [m0 - general.nr_constraints,
                                  n0 - general.nr_variables],
         }
+        if res.simplex and res.simplex.metrics:
+            entry["matrix_format"] = res.simplex.metrics.matrix_format
+            entry["hbm_bytes_est"] = _hbm_bytes(res.simplex.metrics)
         exp = LARGE_EXPECTED.get(name)
         if exp is not None and obj is not None:
             entry["objective_ok"] = bool(abs(obj - exp[0]) <= exp[1])
@@ -197,8 +238,10 @@ def main(argv=None) -> int:
         "metric": f"netlib_{args.suite}_wall_s",
         "value": round(total_wall, 3),
         "unit": "seconds (lower is better)",
-        "vs_baseline": round(
-            BASELINE_WALL_S[args.suite] / max(total_wall, 1e-9), 3
+        "vs_baseline": (
+            round(BASELINE_WALL_S[args.suite] / max(total_wall, 1e-9), 3)
+            if BASELINE_WALL_S[args.suite]
+            else None
         ),
         "solved": f"{solved}/{len(names)}",
         "iters_per_s": round(iters_per_s, 2),
@@ -219,7 +262,7 @@ def main(argv=None) -> int:
         payload["highs_solved"] = f"{highs_solved}/{len(names)}"
         payload["vs_highs_wall"] = round(highs_wall / max(total_wall, 1e-9), 3)
 
-    if args.suite == "large" or args.verbose:
+    if args.suite in ("large", "xl") or args.verbose:
         payload["instances"] = per_instance
 
     if args.batch:

@@ -257,6 +257,10 @@ def solve_computational_form(
         n_padded=n_pad,
         art_residual=float(out.art_inf),
         phase=int(out.phase),
+        nnz=int(sp.csc_matrix(cf.A).nnz),
+        matrix_format=(
+            "ell" if hasattr(A, "m") else "dense"
+        ),
     )
     trace_arr = np.concatenate(traces) if traces else None
     if trace_arr is not None and len(trace_arr):

@@ -35,6 +35,8 @@ class SolveMetrics:
     n_padded: int = 0
     art_residual: float = 0.0
     phase: int = 0
+    nnz: int = 0              # nonzeros of the lowered A (sparse-cost model)
+    matrix_format: str = ""   # device layout actually used ("dense"/"ell")
     # per-iteration stream aggregates (config.trace_iters; 0 when off)
     pivots: int = 0
     bound_flips: int = 0
