@@ -236,6 +236,14 @@ def solve_computational_form(
             worst_viol = max(worst_viol, float(out.viol))
             if config.trace_iters:
                 traces.append(np.asarray(out.trace)[: int(out.it)])
+            from relp_tpu.utils.metrics import logger as _log
+
+            if _log.isEnabledFor(10 + 10):  # INFO
+                _log.info(
+                    "chunk it=%d total=%d status=%d phase=%d wall=%.1fs",
+                    int(out.it), total_done, int(out.status),
+                    int(out.phase), t.peek(),
+                )
             if int(out.status) != st.ITERATION_LIMIT or total_done >= max_iter:
                 break
             warm_kwargs = dict(

@@ -69,6 +69,10 @@ class Timer:
         self.elapsed = time.perf_counter() - self._t0
         return False
 
+    def peek(self) -> float:
+        """Elapsed time so far, while the context is still open."""
+        return time.perf_counter() - self._t0
+
 
 @contextlib.contextmanager
 def device_trace(log_dir: Optional[str] = None):

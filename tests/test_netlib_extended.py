@@ -22,6 +22,36 @@ EXTENDED = [
     "BEACONFD", "BRANDY", "E226", "ISRAEL", "AGG", "AGG2", "AGG3",
     "BANDM", "SCORPION", "SCTAP1", "SCFXM1", "STAIR", "GROW7",
     "CAPRI", "SEBA", "SHELL", "SCSD1", "SCSD6", "STANDATA", "FORPLAN",
+    # round-2 sweep: instances verified against HiGHS on this host
+    # (2026-08-17 probe; every one matched to <=3e-11 relative)
+    "FIT1D", "WOOD1P", "GROW15", "TUFF", "BOEING1", "STANDGUB",
+    "SCSD8", "ETAMACRO", "SHIP04S", "SHIP04L", "PILOT4", "GROW22",
+    "DEGEN2", "STANDMPS", "SCAGR25", "SCRS8", "FINNIS", "FFFFF800",
+    "GFRD-PNC", "FIT1P", "SCFXM2", "NESM", "SHIP08S", "SHIP08L",
+    "MAROS", "SCFXM3", "SCTAP2", "SHIP12S", "SHIP12L", "GANGES",
+    "PILOT-WE",
+]
+
+# Solve + HiGHS-match verified, but minutes-long on the CPU backend —
+# slow-marked like the big ceiling instances (fine on TPU): probe walls
+# 60-250 s each (PEROLD/BNL1/CZPROB/PILOT-JA/PILOTNOV ~20-60 s but
+# numerically heavy; PILOT matched to 2.8e-11 rel in 250 s).
+EXTENDED_SLOW = [
+    "PEROLD", "BNL1", "CZPROB", "PILOT-JA", "PILOTNOV", "TRUSS",
+    "WOODW", "SIERRA", "PILOT", "SCTAP3", "CYCLE", "D6CUBE",
+    "MODSZK1", "KEN-07",
+]
+
+# Not asserted (with reasons), mirroring the reference's #[ignore] policy:
+#   QAP8/QAP12/QAP15 — assignment-polytope relaxations, extreme degeneracy
+#     (HiGHS itself needs ~10^5 iterations); QAP8 exceeded a 15-minute CPU
+#     probe budget.  D2Q06C, DEGEN3, STOCFOR2, CRE-C — exceeded the CPU
+#     probe budget under contention; DFL001/STOCFOR3 are asserted in the
+#     XL bench tier on TPU instead.  KEN-11/PDS-02/PDS-06/CRE-A/CRE-B —
+#     Kennington-scale, CPU-impractical; parse-verified.
+SKIP_LISTED = [
+    "QAP8", "QAP12", "QAP15", "D2Q06C", "DEGEN3", "STOCFOR2", "CRE-C",
+    "KEN-11", "PDS-02", "PDS-06", "CRE-A",
 ]
 
 
@@ -41,9 +71,7 @@ def highs_objective(path):
     return {2: "infeasible", 3: "unbounded"}.get(res.status, "other"), None
 
 
-@pytest.mark.netlib
-@pytest.mark.parametrize("name", EXTENDED)
-def test_matches_highs(name):
+def _check_against_highs(name):
     path = os.path.join(REFERENCE_DATA, "netlib", "problem_files", f"{name}.SIF")
     if not os.path.exists(path):
         pytest.skip(f"{name} not vendored")
@@ -57,3 +85,28 @@ def test_matches_highs(name):
         assert res.kind is LinearProgramType.INFEASIBLE, name
     elif ref_kind == "unbounded":
         assert res.kind is LinearProgramType.UNBOUNDED, name
+
+
+@pytest.mark.netlib
+@pytest.mark.parametrize("name", EXTENDED)
+def test_matches_highs(name):
+    _check_against_highs(name)
+
+
+@pytest.mark.netlib
+@pytest.mark.slow
+@pytest.mark.parametrize("name", EXTENDED_SLOW)
+def test_matches_highs_slow(name):
+    _check_against_highs(name)
+
+
+@pytest.mark.netlib
+@pytest.mark.parametrize("name", SKIP_LISTED)
+def test_skip_listed_parses(name):
+    """Skip-listed instances must at least import cleanly (the reference
+    vendored them; its own tests #[ignore] similar cases with reasons)."""
+    path = os.path.join(REFERENCE_DATA, "netlib", "problem_files", f"{name}.SIF")
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not vendored")
+    gf = import_lp(path)
+    assert gf.nr_constraints > 0 and gf.nr_variables > 0
