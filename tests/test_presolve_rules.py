@@ -247,3 +247,13 @@ def test_one_missing_bound_derivation():
     p.rule_activity(0)
     assert p.lb[0] == -1.0  # promoted: side was infinite
     assert p.act_lb[0] == -1.0
+
+
+def test_budget_exhaustion_is_signaled():
+    g = build([[1, 1]], ["<="], [10], [V("x0", upper=1.0), V("x1", upper=1.0)])
+    p = Presolver(g)
+    res = p.run(max_ops=1)  # not enough to drain the queues
+    assert res.budget_exhausted
+    g2 = build([[1, 1]], ["<="], [10], [V("x0", upper=1.0), V("x1", upper=1.0)])
+    res2 = Presolver(g2).run()
+    assert not res2.budget_exhausted
