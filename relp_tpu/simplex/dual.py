@@ -10,7 +10,9 @@ periodic refactorization; the dual update reuses the identity
 ``π' = π + (d_q/u_r)·B⁻¹[r,:]``.
 
 Per iteration:
-  1. leaving row r: largest bound violation of xB (OPTIMAL when none),
+  1. leaving row r: largest bound violation of xB scaled by EXACT dual
+     steepest-edge weights β_i = ‖B⁻¹[i,:]‖² (Forrest–Goldfarb update;
+     OPTIMAL when no violation),
   2. pivot row α = B⁻¹[r]·A and the **bound-flipping dual ratio test**
      (BFRT, "long step"): candidates sorted by |d_j/α_j|; passing a boxed
      candidate flips it to its opposite bound and reduces the rate at which
@@ -74,6 +76,11 @@ def solve_core_dual(
         xB: jax.Array
         Binv: jax.Array
         pi: jax.Array
+        d: jax.Array      # f64[n] — reduced costs, maintained incrementally
+        #                   (d' = d − θ_D·α; recomputed at refactorization)
+        beta: jax.Array   # f64[m] — EXACT dual steepest-edge row weights
+        #                   β_i = ‖B⁻¹[i,:]‖² (Forrest–Goldfarb update via
+        #                   τ = B⁻¹·B⁻¹[r,:]ᵀ; reset at refactorization)
         status: jax.Array
         it: jax.Array
         since_refactor: jax.Array
@@ -89,6 +96,8 @@ def solve_core_dual(
         xB=jnp.zeros(m, f),
         Binv=jnp.eye(m, dtype=f),
         pi=jnp.zeros(m, f),
+        d=jnp.zeros(n, f),
+        beta=jnp.ones(m, f),
         status=jnp.int32(st.RUNNING),
         it=jnp.int32(0),
         since_refactor=jnp.int32(cfg.refactor_period),  # refactor first
@@ -117,6 +126,8 @@ def solve_core_dual(
             Binv=Binv,
             xB=xB,
             pi=pi,
+            d=c - A.rmatvec(pi),
+            beta=jnp.sum(Binv * Binv, axis=1),
             since_refactor=jnp.int32(0),
             status=jnp.where(singular, st.NUMERICAL, s.status).astype(jnp.int32),
         )
@@ -132,13 +143,17 @@ def solve_core_dual(
         below = lbk - s.xB
         above = s.xB - ubk
         viol = jnp.maximum(jnp.maximum(below, above), 0.0)
-        r = jnp.argmax(viol).astype(jnp.int32)
-        primal_feasible = viol[r] <= cfg.eps_feas
+        # dual steepest edge: largest infeasibility scaled by the TRUE row
+        # norm of B⁻¹ (β maintained exactly via Forrest–Goldfarb below)
+        r = jnp.argmax(viol * viol / jnp.maximum(s.beta, 1e-12)).astype(jnp.int32)
+        # the termination decision stays norm-free
+        primal_feasible = jnp.max(viol) <= cfg.eps_feas
+        r = jnp.where(primal_feasible, jnp.argmax(viol), r).astype(jnp.int32)
 
-        # pivot row and reduced costs
+        # pivot row and (incrementally maintained) reduced costs
         rho = s.Binv[r]
         alpha = A.rmatvec(rho)
-        d = c - A.rmatvec(s.pi)
+        d = s.d
         vs = s.vstat[:n]
 
         leaving_below = below[r] > above[r]  # xB_r under its lower bound
@@ -221,7 +236,20 @@ def solve_core_dual(
         xB_new = xB_new.at[r].set(start_val + theta_p)
         w_row = s.Binv[r] / p_safe
         Binv_new = (s.Binv - u[:, None] * w_row[None, :]).at[r].set(w_row)
-        pi_new = s.pi + (d[q] / p_safe) * s.Binv[r]
+        theta_d = d[q] / p_safe
+        pi_new = s.pi + theta_d * s.Binv[r]
+        # incremental reduced costs: d' = d − θ_D·α (exact identity; the
+        # entering column's d becomes 0, the leaving column's −θ_D)
+        d_new = (d - theta_d * alpha).at[q].set(0.0)
+        # Forrest–Goldfarb exact dual-steepest-edge weight update:
+        #   τ = B⁻¹·(B⁻¹[r,:])ᵀ;  β_r' = β_r/p²;
+        #   β_i' = β_i − 2(u_i/p)·τ_i + (u_i/p)²·β_r   (i ≠ r)
+        tau = s.Binv @ rho
+        ratio_u = u / p_safe
+        beta_r = s.beta[r]
+        beta_new = s.beta - 2.0 * ratio_u * tau + ratio_u * ratio_u * beta_r
+        beta_new = beta_new.at[r].set(beta_r / (p_safe * p_safe))
+        beta_new = jnp.maximum(beta_new, 1e-12)
 
         kr = k[r]
         leave_stat = jnp.where(leaving_below, st.NB_LOWER, st.NB_UPPER)
@@ -255,6 +283,8 @@ def solve_core_dual(
             xB=jnp.where(do_pivot, xB_new, s.xB),
             Binv=jnp.where(do_pivot, Binv_new, s.Binv),
             pi=jnp.where(do_pivot, pi_new, s.pi),
+            d=jnp.where(do_pivot, d_new, s.d),
+            beta=jnp.where(do_pivot, beta_new, s.beta),
             status=status_new.astype(jnp.int32),
             it=s.it + 1,
             since_refactor=jnp.where(
