@@ -328,10 +328,34 @@ def solve_core(
         k = jnp.clip(s.basis - n, 0, m - 1)
         art_cols = (jnp.arange(m)[:, None] == k[None, :]) * s.art_sign[k][None, :]
         B = jnp.where(is_art[None, :], art_cols, struct_cols)
-        if cfg.newton_refactor:
-            Binv, min_piv = robust_inverse(B)
+
+        def rebuild_full(_):
+            if cfg.newton_refactor:
+                return robust_inverse(B)
+            return gauss_jordan_inverse(B)
+
+        if cfg.refactor_mode == "polish":
+            # One Newton-Schulz step on the maintained inverse (pending
+            # etas folded in) against the clean basis columns: X₁ =
+            # X(2I − BX).  Quadratic convergence kills the accumulated
+            # rank-1/eta drift; a residual check routes genuinely bad
+            # states (singular basis, placeholder warm inverse) to the
+            # full rebuild.
+            X = s.Binv
+            if use_eta:
+                X = X + s.etaZ @ jnp.take(X, s.etaR, axis=0)
+            eye = jnp.eye(m, dtype=f)
+            X1 = X @ (2.0 * eye - B @ X)
+            resid = jnp.max(jnp.abs(eye - B @ X1))
+            healthy = jnp.isfinite(resid) & (resid < 1e-9)
+            Binv, min_piv = lax.cond(
+                healthy,
+                lambda _: (X1, jnp.array(jnp.inf, f)),
+                rebuild_full,
+                None,
+            )
         else:
-            Binv, min_piv = gauss_jordan_inverse(B)
+            Binv, min_piv = rebuild_full(None)
 
         def rebuild(s: State) -> State:
             nb = _nonbasic_values(s.vstat, lb_tot, ub_tot_p2)

@@ -74,6 +74,15 @@ class SolverConfig:
     # fallback; False forces plain Gauss-Jordan.
     newton_refactor: bool = True
 
+    # How the periodic refactorization obtains the inverse:
+    # - "polish": ONE Newton-Schulz step on the MAINTAINED inverse against
+    #   the freshly gathered basis columns (3 m³ matmuls incl. the residual
+    #   check) — removes the rank-1/eta drift at ~⅓ the cost of a from-
+    #   scratch rebuild; falls back to the full path when the residual
+    #   check fails (singular/badly drifted basis, placeholder warm inverse).
+    # - "full": always rebuild from scratch (f32 LU + Newton / GJ).
+    refactor_mode: str = "polish"
+
     # Price the column pool in f32 (MXU) with f64 confirmation of the
     # chosen column and a full-f64 fallback pass near optimality; f64 is
     # emulated on TPU, so this is the dominant per-iteration FLOP saving.

@@ -67,10 +67,18 @@ def test_native_is_faster_on_big_file():
     if not os.path.exists(path):
         pytest.skip("STOCFOR3 not available")
     text = open(path).read()
-    t0 = time.perf_counter()
-    parse_fixed(text)
-    t_py = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    native.parse_file_native(path, True)
-    t_nat = time.perf_counter() - t0
+    # best-of-3 each way: a single-shot comparison is flaky under host
+    # load (observed once with a TPU solve running concurrently)
+    t_py = min(
+        _timed(lambda: parse_fixed(text)) for _ in range(3)
+    )
+    t_nat = min(
+        _timed(lambda: native.parse_file_native(path, True)) for _ in range(3)
+    )
     assert t_nat < t_py, (t_nat, t_py)
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
