@@ -221,7 +221,10 @@ def solve_computational_form(
     # stays well under the watchdog regardless of problem size
     chunk = max(1, int(config.device_chunk_iters))
     if m_pad > 1024:
-        chunk = max(500, int(chunk * (1024.0 / m_pad) ** 2))
+        # STOCFOR3-class rows: even 500 iterations can exceed the ~60-90 s
+        # execution watchdog once per-chunk refactorizations cost seconds
+        floor = 200 if m_pad > 12288 else 500
+        chunk = max(floor, int(chunk * (1024.0 / m_pad) ** 2))
     total_done = 0
     traces = []
     worst_viol = 0.0
