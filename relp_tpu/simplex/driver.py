@@ -228,13 +228,19 @@ def solve_computational_form(
     total_done = 0
     traces = []
     worst_viol = 0.0
-    with Timer() as t:
+
+    def _run_chunked(lb_run, ub_run, warm, t, budget):
+        """Chunked warm-continued solve against one bound set; shares the
+        single compiled program with every other call of this shape."""
+        nonlocal total_done, worst_viol
+        done_here = 0
         while True:
-            this_chunk = min(chunk, max_iter - total_done)
+            this_chunk = min(chunk, budget - done_here)
             out = solve_core(
-                A, b, c, lb, ub, cfg=config, max_iter=this_chunk, **warm_kwargs
+                A, b, c, lb_run, ub_run, cfg=config, max_iter=this_chunk, **warm
             )
             out = jax.block_until_ready(out)
+            done_here += int(out.it)
             total_done += int(out.it)
             worst_viol = max(worst_viol, float(out.viol))
             if config.trace_iters:
@@ -243,18 +249,45 @@ def solve_computational_form(
 
             if _log.isEnabledFor(10 + 10):  # INFO
                 _log.info(
-                    "chunk it=%d total=%d status=%d phase=%d wall=%.1fs",
+                    "chunk it=%d total=%d status=%d phase=%d art=%.3e wall=%.1fs",
                     int(out.it), total_done, int(out.status),
-                    int(out.phase), t.peek(),
+                    int(out.phase), float(out.art_inf), t.peek(),
                 )
-            if int(out.status) != st.ITERATION_LIMIT or total_done >= max_iter:
-                break
+            if int(out.status) != st.ITERATION_LIMIT or done_here >= budget:
+                return out
+            warm = dict(
+                basis0=np.asarray(out.basis, np.int32),
+                vstat0=np.asarray(out.vstat, np.int32)[:n_pad],
+                art_sign0=np.asarray(out.art_sign),
+                phase0=np.asarray(out.phase, np.int32),
+            )
+
+    with Timer() as t:
+        if config.perturb > 0:
+            # anti-degeneracy: solve with expanded bounds first (ties
+            # broken), then clean up against the true bounds from the
+            # perturbed optimal basis — same compiled program both times
+            rng = np.random.default_rng(0xD31)
+            scale_ = config.perturb
+            fixed = lb == ub
+            lb_p = np.where(
+                np.isfinite(lb) & ~fixed,
+                lb - scale_ * (1 + np.abs(lb)) * rng.uniform(0.5, 1.0, n_pad),
+                lb,
+            )
+            ub_p = np.where(
+                np.isfinite(ub) & ~fixed,
+                ub + scale_ * (1 + np.abs(ub)) * rng.uniform(0.5, 1.0, n_pad),
+                ub,
+            )
+            out = _run_chunked(lb_p, ub_p, warm_kwargs, t, max_iter)
             warm_kwargs = dict(
                 basis0=np.asarray(out.basis, np.int32),
                 vstat0=np.asarray(out.vstat, np.int32)[:n_pad],
                 art_sign0=np.asarray(out.art_sign),
                 phase0=np.asarray(out.phase, np.int32),
             )
+        out = _run_chunked(lb, ub, warm_kwargs, t, max_iter)
 
     status = int(out.status)
     kind = st.STATUS_TO_TYPE[status]

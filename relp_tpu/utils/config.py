@@ -132,6 +132,15 @@ class SolverConfig:
     # per-column fill).
     matrix_format: str = "auto"
 
+    # Anti-degeneracy bound perturbation (relative magnitude; 0 = off).
+    # Finite non-fixed bounds are expanded by deterministic pseudo-random
+    # amounts in [0.5, 1]·perturb·(1+|bound|) before the solve, breaking the
+    # massive primal-degeneracy ties that stall instances like DFL001/QAP;
+    # the driver then re-solves with the TRUE bounds warm-started from the
+    # perturbed optimum — the SAME compiled program, typically a handful of
+    # cleanup iterations.
+    perturb: float = 0.0
+
     # Shard the column pool of a SINGLE solve over this many devices along
     # the mesh's 'cols' axis (pricing-parallel; XLA/GSPMD inserts the
     # cross-chip argmax/gather collectives).  1 = single device, -1 = all

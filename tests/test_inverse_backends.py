@@ -69,3 +69,33 @@ def test_partial_pricing_with_ell_and_eta():
     res = solve(reference_problem("netlib", "ADLITTLE.SIF"), config=cfg)
     assert res.kind is LinearProgramType.FINITE_OPTIMUM
     assert res.solution.objective_value == pytest.approx(2.254949632e05, rel=1e-3)
+
+
+# ---- anti-degeneracy bound perturbation ------------------------------------
+
+
+@pytest.mark.netlib
+def test_perturbation_matches_reference():
+    """Perturbed solve + true-bound warm cleanup must land on the same
+    objective (SHARE1B is mildly degenerate)."""
+    res = solve(
+        reference_problem("netlib", "SHARE1B.SIF"),
+        config=SolverConfig(perturb=1e-7),
+    )
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert res.solution.objective_value == pytest.approx(
+        -7.658931857918568e4, abs=1e-3 * 77
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.netlib
+def test_perturbation_unsticks_degen3():
+    """DEGEN3 exceeds a 15-minute CPU budget unperturbed; with perturb=1e-7
+    it solves to the HiGHS optimum (-987.294) in ~3 minutes (round-2 log)."""
+    res = solve(
+        reference_problem("netlib", "DEGEN3.SIF"),
+        config=SolverConfig(perturb=1e-7),
+    )
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert res.solution.objective_value == pytest.approx(-987.294, abs=1e-3)
