@@ -46,6 +46,13 @@ def main(argv=None) -> int:
         "--write-mps", metavar="FILE", help="export the (presolved) problem and exit"
     )
     ap.add_argument(
+        "--perturb",
+        type=float,
+        default=0.0,
+        metavar="EPS",
+        help="anti-degeneracy bound perturbation (e.g. 1e-7; 0 = off)",
+    )
+    ap.add_argument(
         "--mip",
         action="store_true",
         help="branch-and-bound on INTEGER (INTORG-marked) variables",
@@ -80,6 +87,7 @@ def main(argv=None) -> int:
         mesh_cols=args.mesh_cols,
         matrix_format=args.matrix_format,
         inverse=args.inverse,
+        perturb=args.perturb,
     )
 
     t0 = time.perf_counter()
