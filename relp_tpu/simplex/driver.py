@@ -249,9 +249,11 @@ def solve_computational_form(
 
             if _log.isEnabledFor(10 + 10):  # INFO
                 _log.info(
-                    "chunk it=%d total=%d status=%d phase=%d art=%.3e wall=%.1fs",
+                    "chunk it=%d total=%d status=%d phase=%d art=%.3e "
+                    "obj=%.9e wall=%.1fs",
                     int(out.it), total_done, int(out.status),
-                    int(out.phase), float(out.art_inf), t.peek(),
+                    int(out.phase), float(out.art_inf), float(out.obj),
+                    t.peek(),
                 )
             if int(out.status) != st.ITERATION_LIMIT or done_here >= budget:
                 return out
