@@ -46,6 +46,12 @@ def main(argv=None) -> int:
         "--write-mps", metavar="FILE", help="export the (presolved) problem and exit"
     )
     ap.add_argument(
+        "--algorithm",
+        choices=["primal", "dual"],
+        default="primal",
+        help="main solve algorithm (dual = dual simplex from scratch)",
+    )
+    ap.add_argument(
         "--perturb",
         type=float,
         default=0.0,
@@ -88,6 +94,7 @@ def main(argv=None) -> int:
         matrix_format=args.matrix_format,
         inverse=args.inverse,
         perturb=args.perturb,
+        algorithm=args.algorithm,
     )
 
     t0 = time.perf_counter()

@@ -264,32 +264,101 @@ def solve_computational_form(
                 phase0=np.asarray(out.phase, np.int32),
             )
 
-    with Timer() as t:
-        if config.perturb > 0:
-            # anti-degeneracy: solve with expanded bounds first (ties
-            # broken), then clean up against the true bounds from the
-            # perturbed optimal basis — same compiled program both times
-            rng = np.random.default_rng(0xD31)
-            scale_ = config.perturb
-            fixed = lb == ub
-            lb_p = np.where(
-                np.isfinite(lb) & ~fixed,
-                lb - scale_ * (1 + np.abs(lb)) * rng.uniform(0.5, 1.0, n_pad),
-                lb,
+    def _run_dual_chunked(t):
+        """Dual simplex from scratch (config.algorithm="dual"): the
+        all-artificial basis is dual feasible once every nonbasic sits on
+        the bound matching sign(c_j) (π = 0 ⇒ d = c); columns without a
+        suitable finite bound get a temporary box, verified inactive at
+        optimality.  Returns the SolveOutput on a trusted OPTIMAL, else
+        None (caller falls back to the primal path)."""
+        from relp_tpu.simplex.dual import solve_core_dual
+
+        nonlocal total_done, worst_viol
+        boxM = float(config.dual_box)
+        fixed = lb == ub
+        need_low = (c >= 0) & ~np.isfinite(lb) & ~fixed
+        need_up = (c < 0) & ~np.isfinite(ub) & ~fixed
+        lb_d = np.where(need_low, -boxM, lb)
+        ub_d = np.where(need_up, boxM, ub)
+        vstat0 = np.where(
+            fixed, st.NB_FIXED, np.where(c >= 0, st.NB_LOWER, st.NB_UPPER)
+        ).astype(np.int32)
+        x0 = np.where(vstat0 == st.NB_LOWER, lb_d, np.where(vstat0 == st.NB_UPPER, ub_d, lb_d))
+        r0 = b.copy()
+        r0[:m] -= np.asarray(sp.csc_matrix(cf.A) @ x0[: cf.n])
+        warm = dict(
+            basis0=(n_pad + np.arange(m_pad, dtype=np.int32)),
+            vstat0=vstat0,
+            art_sign0=np.where(r0 >= 0, 1.0, -1.0),
+        )
+        done_here = 0
+        while True:
+            this_chunk = min(chunk, max_iter - done_here)
+            out = solve_core_dual(
+                A, b, c, lb_d, ub_d, warm["basis0"], warm["vstat0"],
+                cfg=config, max_iter=this_chunk, art_sign0=warm["art_sign0"],
             )
-            ub_p = np.where(
-                np.isfinite(ub) & ~fixed,
-                ub + scale_ * (1 + np.abs(ub)) * rng.uniform(0.5, 1.0, n_pad),
-                ub,
-            )
-            out = _run_chunked(lb_p, ub_p, warm_kwargs, t, max_iter)
-            warm_kwargs = dict(
+            out = jax.block_until_ready(out)
+            done_here += int(out.it)
+            total_done += int(out.it)
+            from relp_tpu.utils.metrics import logger as _log
+
+            if _log.isEnabledFor(20):
+                _log.info(
+                    "dual chunk it=%d total=%d status=%d art=%.3e obj=%.9e "
+                    "wall=%.1fs",
+                    int(out.it), done_here, int(out.status),
+                    float(out.art_inf), float(out.obj), t.peek(),
+                )
+            if int(out.status) != st.ITERATION_LIMIT or done_here >= max_iter:
+                break
+            warm = dict(
                 basis0=np.asarray(out.basis, np.int32),
                 vstat0=np.asarray(out.vstat, np.int32)[:n_pad],
                 art_sign0=np.asarray(out.art_sign),
-                phase0=np.asarray(out.phase, np.int32),
             )
-        out = _run_chunked(lb, ub, warm_kwargs, t, max_iter)
+        if int(out.status) != st.OPTIMAL:
+            return None
+        x = np.asarray(out.x)
+        box_active = (need_low & (x <= -0.5 * boxM)) | (need_up & (x >= 0.5 * boxM))
+        if bool(np.any(box_active)):
+            return None  # temporary box binds: not a certificate for the original
+        return out
+
+    with Timer() as t:
+        out = None
+        if (
+            config.algorithm == "dual"
+            and warm_start_builder is None
+            and config.perturb == 0
+        ):
+            out = _run_dual_chunked(t)  # None ⇒ fall back to the primal
+        if out is None:
+            if config.perturb > 0:
+                # anti-degeneracy: solve with expanded bounds first (ties
+                # broken), then clean up against the true bounds from the
+                # perturbed optimal basis — same compiled program both times
+                rng = np.random.default_rng(0xD31)
+                scale_ = config.perturb
+                fixed = lb == ub
+                lb_p = np.where(
+                    np.isfinite(lb) & ~fixed,
+                    lb - scale_ * (1 + np.abs(lb)) * rng.uniform(0.5, 1.0, n_pad),
+                    lb,
+                )
+                ub_p = np.where(
+                    np.isfinite(ub) & ~fixed,
+                    ub + scale_ * (1 + np.abs(ub)) * rng.uniform(0.5, 1.0, n_pad),
+                    ub,
+                )
+                out = _run_chunked(lb_p, ub_p, warm_kwargs, t, max_iter)
+                warm_kwargs = dict(
+                    basis0=np.asarray(out.basis, np.int32),
+                    vstat0=np.asarray(out.vstat, np.int32)[:n_pad],
+                    art_sign0=np.asarray(out.art_sign),
+                    phase0=np.asarray(out.phase, np.int32),
+                )
+            out = _run_chunked(lb, ub, warm_kwargs, t, max_iter)
 
     status = int(out.status)
     kind = st.STATUS_TO_TYPE[status]

@@ -132,6 +132,18 @@ class SolverConfig:
     # per-column fill).
     matrix_format: str = "auto"
 
+    # Main algorithm: "primal" (two-phase primal simplex) or "dual" (dual
+    # simplex from scratch: all-artificial basis is trivially DUAL feasible
+    # once each nonbasic sits on the bound matching sign(c_j); columns with
+    # no suitable finite bound get a temporary box that is verified
+    # inactive at optimality).  The dual's exact steepest-edge + BFRT
+    # typically needs far fewer iterations on degenerate instances; falls
+    # back to the primal on failure.
+    algorithm: str = "primal"
+    # temporary-box magnitude for the dual start (data is equilibrated to
+    # O(1), so this is effectively absolute in scaled space)
+    dual_box: float = 1e7
+
     # Anti-degeneracy bound perturbation (relative magnitude; 0 = off).
     # Finite non-fixed bounds are expanded by deterministic pseudo-random
     # amounts in [0.5, 1]·perturb·(1+|bound|) before the solve, breaking the

@@ -85,3 +85,51 @@ def test_reoptimize_api_fallbacks():
     assert int(out2.status) == int(ref.status)
     if int(ref.status) == st.OPTIMAL:
         assert float(out2.obj) == pytest.approx(float(ref.obj), abs=1e-8)
+
+
+# ---- dual simplex as the MAIN algorithm (config.algorithm="dual") ----------
+
+
+@pytest.mark.netlib
+@pytest.mark.parametrize(
+    "name,expected,tol",
+    [
+        ("AFIRO", -464.75314, 1e-3),
+        ("ADLITTLE", 2.254949632e05, 2.3e2),
+        ("SHARE1B", -7.658931857918568e4, 77.0),
+        ("BOEING2", -3.1501872801520288e2, 1e-3),
+        ("DEGEN2", -1.4351780e3, 1e-1),
+    ],
+)
+def test_dual_from_scratch(name, expected, tol):
+    """Dual simplex from a dual-feasible cold start (sign-matched statuses
+    + temporary boxing) must reach the reference objectives; on degenerate
+    instances it needs far fewer iterations than the primal (DEGEN2 602 vs
+    1480, SCSD8 833 vs 17798 in the round-2 A/B)."""
+    import relp_tpu
+    from relp_tpu.api import solve as _solve
+    from tests.conftest import reference_problem
+
+    res = _solve(
+        reference_problem("netlib", f"{name}.SIF"),
+        config=SolverConfig(algorithm="dual"),
+    )
+    from relp_tpu.model.elements import LinearProgramType
+
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert abs(res.solution.objective_value - expected) <= tol
+
+
+def test_dual_falls_back_on_unbounded():
+    """An unbounded LP has no dual-feasible point reachable without the
+    temporary box binding — the driver must fall back to the primal and
+    report UNBOUNDED."""
+    import relp_tpu
+    from relp_tpu.api import solve as _solve
+    from relp_tpu.model.elements import LinearProgramType
+
+    res = _solve(
+        "/root/reference/tests/burkardt/problem_files/nazareth.mps",
+        config=SolverConfig(algorithm="dual"),
+    )
+    assert res.kind is LinearProgramType.UNBOUNDED
