@@ -111,10 +111,28 @@ def solve_core_dual(
         k = jnp.clip(s.basis - n, 0, m - 1)
         art_cols = (jnp.arange(m)[:, None] == k[None, :]) * art_sign[k][None, :]
         B = jnp.where(is_art[None, :], art_cols, struct_cols)
-        if cfg.newton_refactor:
-            Binv, min_piv = robust_inverse(B)
+
+        def rebuild_full(_):
+            if cfg.newton_refactor:
+                return robust_inverse(B)
+            return gauss_jordan_inverse(B)
+
+        if cfg.refactor_mode == "polish":
+            # same Newton-polish as the primal core: one step on the
+            # maintained inverse, full rebuild on residual failure
+            X = s.Binv
+            eye = jnp.eye(m, dtype=f)
+            X1 = X @ (2.0 * eye - B @ X)
+            resid = jnp.max(jnp.abs(eye - B @ X1))
+            healthy = jnp.isfinite(resid) & (resid < 1e-9)
+            Binv, min_piv = lax.cond(
+                healthy,
+                lambda _: (X1, jnp.array(jnp.inf, f)),
+                rebuild_full,
+                None,
+            )
         else:
-            Binv, min_piv = gauss_jordan_inverse(B)
+            Binv, min_piv = rebuild_full(None)
         nb = _nonbasic_values(s.vstat, lb_tot, ub_tot)
         nb = jnp.where(s.vstat == st.BASIC, 0.0, nb)
         r = b - A.matvec(nb[:n])
