@@ -187,38 +187,72 @@ def solve_core_dual(
         ratio = jnp.where(cand, jnp.abs(d) / jnp.maximum(abs_alpha, 1e-300), INF)
 
         # ---- bound-flipping ratio test (long-step dual, vectorized) ----
-        # Sorted by ratio, passing candidate j reduces the rate at which row
+        # In ratio order, passing candidate j reduces the rate at which row
         # r's infeasibility shrinks by its flip capacity (ub_j−lb_j)·|α_j|;
         # q is where the remaining slope crosses 0.  Unboxed candidates have
         # infinite capacity and always block.
-        order = jnp.argsort(jnp.where(cand, ratio, INF))
         cap = jnp.where(cand, boxed_range * abs_alpha, 0.0)
-        cap_sorted = jnp.take(cap, order)
-        cand_sorted = jnp.take(cand, order)
-        slope_after = viol[r] - jnp.cumsum(cap_sorted)
-        blocked = cand_sorted & (slope_after <= 0)
-        any_block = jnp.any(blocked)
-        kq_block = jnp.argmax(blocked)  # first True (0 if none)
+        if cfg.dual_ratio == "bisect":
+            # Sort-free form: the blocking ratio is the step-function
+            # crossing t* = min{t : Σ_{cand, ratio≤t} cap ≥ viol_r}; locate
+            # it by scalar bisection (64 masked O(n) reductions — far
+            # cheaper on TPU than one O(n log n) argsort + gathers at
+            # DFL001-class n).  Selection below is identical to the sorted
+            # form up to exact-ratio ties.
+            total_cap = jnp.sum(cap)
+            any_block = total_cap >= viol[r]
+            hi0 = jnp.max(jnp.where(cand, ratio, 0.0))
 
-        # Harris-style tie tolerance: among candidates at sorted positions
-        # ≤ blocker whose ratio is within the dual tolerance of the
-        # blocker's, take the largest |α| (stability; mirrors the primal
-        # Harris pass 2).
-        ratio_sorted = jnp.where(cand_sorted, jnp.take(ratio, order), INF)
-        ratio_block = ratio_sorted[kq_block]
-        pos_ids = jnp.arange(n)
-        near = (
-            cand_sorted
-            & (pos_ids <= kq_block)
-            & (ratio_sorted >= ratio_block - cfg.eps_dual)
-        )
-        kq = jnp.argmax(jnp.where(near, jnp.take(abs_alpha, order), -1.0))
-        q = order[kq].astype(jnp.int32)
-        has_entering = any_block & jnp.isfinite(ratio_sorted[kq])
+            def bis(_, lohi):
+                lo, hi = lohi
+                mid = 0.5 * (lo + hi)
+                s_mid = jnp.sum(jnp.where(ratio <= mid, cap, 0.0))
+                pred = s_mid >= viol[r]
+                return (jnp.where(pred, lo, mid), jnp.where(pred, mid, hi))
 
-        # flips: all candidates strictly before the chosen position
-        flip_sorted = cand_sorted & (pos_ids < kq)
-        flip_mask = jnp.zeros(n, bool).at[order].set(flip_sorted)
+            lo, _hi = lax.fori_loop(
+                0, 64, bis, (jnp.array(-1.0, f), hi0)
+            )
+            ratio_block = jnp.min(jnp.where(cand & (ratio > lo), ratio, INF))
+            near = (
+                cand
+                & (ratio <= ratio_block)
+                & (ratio >= ratio_block - cfg.eps_dual)
+            )
+            q = jnp.argmax(jnp.where(near, abs_alpha, -1.0)).astype(jnp.int32)
+            has_entering = any_block & jnp.isfinite(ratio_block)
+            # flips: candidates whose reduced cost crosses zero strictly
+            # before the chosen q's (their cap sum stays < viol_r, so the
+            # row's infeasibility keeps shrinking after the flips)
+            flip_mask = cand & (ratio < ratio[q])
+        else:
+            order = jnp.argsort(jnp.where(cand, ratio, INF))
+            cap_sorted = jnp.take(cap, order)
+            cand_sorted = jnp.take(cand, order)
+            slope_after = viol[r] - jnp.cumsum(cap_sorted)
+            blocked = cand_sorted & (slope_after <= 0)
+            any_block = jnp.any(blocked)
+            kq_block = jnp.argmax(blocked)  # first True (0 if none)
+
+            # Harris-style tie tolerance: among candidates at sorted
+            # positions ≤ blocker whose ratio is within the dual tolerance
+            # of the blocker's, take the largest |α| (stability; mirrors the
+            # primal Harris pass 2).
+            ratio_sorted = jnp.where(cand_sorted, jnp.take(ratio, order), INF)
+            ratio_block = ratio_sorted[kq_block]
+            pos_ids = jnp.arange(n)
+            near = (
+                cand_sorted
+                & (pos_ids <= kq_block)
+                & (ratio_sorted >= ratio_block - cfg.eps_dual)
+            )
+            kq = jnp.argmax(jnp.where(near, jnp.take(abs_alpha, order), -1.0))
+            q = order[kq].astype(jnp.int32)
+            has_entering = any_block & jnp.isfinite(ratio_sorted[kq])
+
+            # flips: all candidates strictly before the chosen position
+            flip_sorted = cand_sorted & (pos_ids < kq)
+            flip_mask = jnp.zeros(n, bool).at[order].set(flip_sorted)
         n_flips = jnp.sum(flip_mask).astype(jnp.int32)
 
         # pivot quantities

@@ -143,6 +143,12 @@ class SolverConfig:
     # temporary-box magnitude for the dual start (data is equilibrated to
     # O(1), so this is effectively absolute in scaled space)
     dual_box: float = 1e7
+    # BFRT implementation: "sort" materializes the candidates in ratio order
+    # (one O(n log n) argsort + gathers per iteration — TPU sorts are slow at
+    # large n) or "bisect" which finds the blocking ratio t* = min{t :
+    # Σ_{ratio≤t} cap ≥ viol_r} by ~60 scalar bisection steps of masked
+    # O(n) reductions — same selected pivot up to ties, no sort.
+    dual_ratio: str = "bisect"
 
     # Anti-degeneracy bound perturbation (relative magnitude; 0 = off).
     # Finite non-fixed bounds are expanded by deterministic pseudo-random
