@@ -59,6 +59,55 @@ def gauss_jordan_inverse(B: jax.Array, tiny: float = 1e-300):
     return M[:, m:], min_piv
 
 
+def blocked_gj_inverse(B: jax.Array, block: int = 1024) -> jax.Array:
+    """Inverse by *blocked* Gauss-Jordan — pure matmuls, in ``B``'s dtype.
+
+    XLA's ``LuDecomposition`` custom call allocates a full-height
+    (m, 128) double-buffered panel in VMEM, which exceeds the 16 MB scoped
+    limit for m_pad ≳ 15k (observed on STOCFOR3: f32[17408,128] → "Ran out
+    of memory in memory space vmem").  This routine eliminates ``block``
+    columns at a time on the augmented [B | I]: invert the (block, block)
+    diagonal block (small f32 LU — its VMEM panel is only (block, 128) —
+    Newton-refined to ``B``'s dtype in-block), scale that row-block with
+    one matmul, clear the column-block with one rank-``block`` update.
+    ~2m³ FLOPs total, all MXU matmuls; no cross-block pivoting (partial
+    pivoting lives inside the small LU; the caller's Newton residual
+    check catches a bad block — for equilibrated simplex bases the seed
+    residual is ~1e-7..1e-10, one refinement step from full precision).
+    """
+    m = B.shape[0]
+    assert m % block == 0, (m, block)
+    f = B.dtype
+    M = jnp.concatenate([B, jnp.eye(m, dtype=f)], axis=1)
+    rows = jnp.arange(m)
+    eye_b = jnp.eye(block, dtype=f)
+
+    def body(kb, M):
+        k0 = kb * block
+        rowsk = lax.dynamic_slice(M, (k0, 0), (block, 2 * m))
+        Akk = lax.dynamic_slice(rowsk, (0, k0), (block, block))
+        Xb = jnp.linalg.inv(Akk.astype(jnp.float32)).astype(f)
+        Xb = Xb @ (2.0 * eye_b - Akk @ Xb)
+        Xb = Xb @ (2.0 * eye_b - Akk @ Xb)
+        rowsk = Xb @ rowsk
+        in_block = (rows >= k0) & (rows < k0 + block)
+        factors = jnp.where(
+            in_block[:, None],
+            0.0,
+            lax.dynamic_slice(M, (0, k0), (m, block)),
+        )
+        M = M - factors @ rowsk
+        return lax.dynamic_update_slice(M, rowsk, (k0, 0))
+
+    M = lax.fori_loop(0, m // block, body, M)
+    return M[:, m:]
+
+
+# above this padded row count the XLA f32 LU's VMEM panel overflows; use
+# the blocked Gauss-Jordan seed instead (see blocked_f32_inverse).
+_LU_VMEM_MAX_M = 12288
+
+
 def newton_refined_inverse(B: jax.Array, refine_steps: int = 3):
     """MXU-friendly f64 inverse: f32 LU inverse seed + Newton-Schulz refinement.
 
@@ -72,7 +121,11 @@ def newton_refined_inverse(B: jax.Array, refine_steps: int = 3):
     """
     m = B.shape[0]
     eye = jnp.eye(m, dtype=B.dtype)
-    X = jnp.linalg.inv(B.astype(jnp.float32)).astype(B.dtype)
+    if m > _LU_VMEM_MAX_M:
+        blk = 1024 if m % 1024 == 0 else 512
+        X = blocked_gj_inverse(B, block=blk)
+    else:
+        X = jnp.linalg.inv(B.astype(jnp.float32)).astype(B.dtype)
     for _ in range(refine_steps):
         X = X @ (2.0 * eye - B @ X)
     residual = jnp.max(jnp.abs(eye - B @ X))
@@ -91,6 +144,16 @@ def robust_inverse(B: jax.Array, newton_tol: float = 1e-9):
 
     def use_newton(_):
         return X, jnp.array(jnp.inf, B.dtype)
+
+    if B.shape[0] > _LU_VMEM_MAX_M:
+        # the scalar Gauss-Jordan fallback (m sequential rank-1 steps over
+        # an m×2m tableau) is not executable at this scale; an unhealthy
+        # Newton result signals a (near-)singular basis — report pivot 0 so
+        # the engine's singular-basis repair takes over.
+        def flag_singular(_):
+            return X, jnp.array(0.0, B.dtype)
+
+        return lax.cond(healthy, use_newton, flag_singular, None)
 
     def use_gj(_):
         return gauss_jordan_inverse(B)
