@@ -59,6 +59,57 @@ def gauss_jordan_inverse(B: jax.Array, tiny: float = 1e-300):
     return M[:, m:], min_piv
 
 
+# Max output elements of a single f64 matmul on device.  This TPU's f64
+# matmul emulation materializes an f32[8, out_shape] limb-partial buffer
+# (observed on STOCFOR3: "Allocation (size=19394461696) ... f32[8,17408,
+# 34816]" — 8×4 bytes per output element), so an unpanelled (m, 2m) f64
+# product at m≈17k alone exceeds the 16 GB HBM.  2^26 output elements
+# → ≈2 GB of limb partials per panel.
+_PANEL_MAX_OUT = 1 << 26
+
+
+def panel_matmul(A: jax.Array, B: jax.Array) -> jax.Array:
+    """``A @ B``, computed in column panels of ``B`` when the output is
+    large enough that the f64-emulation limb partials would blow HBM.
+
+    Shapes are static under jit, so the panelling decision is free; each
+    panel is still a full-width MXU matmul (panel width ≥ 128 lanes).
+    """
+    m, n_out = A.shape[0], B.shape[1]
+    if m * n_out <= _PANEL_MAX_OUT:
+        return A @ B
+    p = max(128, (_PANEL_MAX_OUT // m) // 128 * 128)
+    return jnp.concatenate(
+        [A @ B[:, j : j + p] for j in range(0, n_out, p)], axis=1
+    )
+
+
+def inverse_residual(B: jax.Array, X: jax.Array) -> jax.Array:
+    """Residual of a candidate inverse: ``max|I − B·X|``.
+
+    Exact below the panel threshold; above it (XL scale) the full m×m
+    product is replaced by sign-pattern probe vectors — ``max_k |v_k −
+    B(X v_k)|∞`` — four matvecs instead of an m³ matmul.  A probe
+    understates the true max-abs residual, but Newton/polish drift is
+    dense roundoff, which probes catch; the threshold's meaning (healthy
+    vs rebuild) is unchanged.
+    """
+    m = B.shape[0]
+    if m * m <= _PANEL_MAX_OUT:
+        return jnp.max(jnp.abs(jnp.eye(m, dtype=B.dtype) - B @ X))
+    i = jnp.arange(m)
+    probes = (
+        jnp.where(i % 2 == 0, 1.0, -1.0).astype(B.dtype),
+        jnp.where((i // 3) % 2 == 0, 1.0, -1.0).astype(B.dtype),
+        jnp.where((i * 2654435761 % 97) < 48, 1.0, -1.0).astype(B.dtype),
+        jnp.ones(m, B.dtype),
+    )
+    r = jnp.array(0.0, B.dtype)
+    for v in probes:
+        r = jnp.maximum(r, jnp.max(jnp.abs(v - B @ (X @ v))))
+    return r
+
+
 def blocked_gj_inverse(B: jax.Array, block: int = 1024) -> jax.Array:
     """Inverse by *blocked* Gauss-Jordan — pure matmuls, in ``B``'s dtype.
 
@@ -96,7 +147,7 @@ def blocked_gj_inverse(B: jax.Array, block: int = 1024) -> jax.Array:
             0.0,
             lax.dynamic_slice(M, (0, k0), (m, block)),
         )
-        M = M - factors @ rowsk
+        M = M - panel_matmul(factors, rowsk)
         return lax.dynamic_update_slice(M, rowsk, (k0, 0))
 
     M = lax.fori_loop(0, m // block, body, M)
@@ -127,8 +178,8 @@ def newton_refined_inverse(B: jax.Array, refine_steps: int = 3):
     else:
         X = jnp.linalg.inv(B.astype(jnp.float32)).astype(B.dtype)
     for _ in range(refine_steps):
-        X = X @ (2.0 * eye - B @ X)
-    residual = jnp.max(jnp.abs(eye - B @ X))
+        X = panel_matmul(X, 2.0 * eye - panel_matmul(B, X))
+    residual = inverse_residual(B, X)
     return X, residual
 
 

@@ -46,7 +46,12 @@ import numpy as np
 from jax import lax
 
 from relp_tpu.ops.amatrix import as_amatrix
-from relp_tpu.ops.linalg import gauss_jordan_inverse, robust_inverse
+from relp_tpu.ops.linalg import (
+    gauss_jordan_inverse,
+    inverse_residual,
+    panel_matmul,
+    robust_inverse,
+)
 from relp_tpu.simplex import status as st
 from relp_tpu.utils.config import SolverConfig
 
@@ -313,7 +318,7 @@ def solve_core(
     # at refactorization only because its updates stay as a sequential eta
     # file, lower_upper/mod.rs:157-230).
     def fold_etas(s: State) -> State:
-        Binv = s.Binv + s.etaZ @ jnp.take(s.Binv, s.etaR, axis=0)
+        Binv = s.Binv + panel_matmul(s.etaZ, jnp.take(s.Binv, s.etaR, axis=0))
         return s._replace(
             Binv=Binv,
             etaZ=jnp.zeros_like(s.etaZ),
@@ -343,10 +348,10 @@ def solve_core(
             # full rebuild.
             X = s.Binv
             if use_eta:
-                X = X + s.etaZ @ jnp.take(X, s.etaR, axis=0)
+                X = X + panel_matmul(s.etaZ, jnp.take(X, s.etaR, axis=0))
             eye = jnp.eye(m, dtype=f)
-            X1 = X @ (2.0 * eye - B @ X)
-            resid = jnp.max(jnp.abs(eye - B @ X1))
+            X1 = panel_matmul(X, 2.0 * eye - panel_matmul(B, X))
+            resid = inverse_residual(B, X1)
             healthy = jnp.isfinite(resid) & (resid < 1e-9)
             Binv, min_piv = lax.cond(
                 healthy,

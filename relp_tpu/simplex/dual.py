@@ -33,7 +33,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from relp_tpu.ops.amatrix import as_amatrix
-from relp_tpu.ops.linalg import gauss_jordan_inverse, robust_inverse
+from relp_tpu.ops.linalg import (
+    gauss_jordan_inverse,
+    inverse_residual,
+    panel_matmul,
+    robust_inverse,
+)
 from relp_tpu.simplex import status as st
 from relp_tpu.simplex.core import SolveOutput, _nonbasic_values
 from relp_tpu.utils.config import SolverConfig
@@ -122,8 +127,8 @@ def solve_core_dual(
             # maintained inverse, full rebuild on residual failure
             X = s.Binv
             eye = jnp.eye(m, dtype=f)
-            X1 = X @ (2.0 * eye - B @ X)
-            resid = jnp.max(jnp.abs(eye - B @ X1))
+            X1 = panel_matmul(X, 2.0 * eye - panel_matmul(B, X))
+            resid = inverse_residual(B, X1)
             healthy = jnp.isfinite(resid) & (resid < 1e-9)
             Binv, min_piv = lax.cond(
                 healthy,
