@@ -72,16 +72,55 @@ def panel_matmul(A: jax.Array, B: jax.Array) -> jax.Array:
     """``A @ B``, computed in column panels of ``B`` when the output is
     large enough that the f64-emulation limb partials would blow HBM.
 
-    Shapes are static under jit, so the panelling decision is free; each
+    The panels run inside a ``lax.fori_loop`` writing into one output
+    buffer: an unrolled python loop + concatenate lets XLA merge the
+    per-panel limb buffers back into a single f32[8, m, n] allocation
+    (observed 9 GB on STOCFOR3's rebuild), defeating the panelling —
+    the sequential loop keeps exactly ONE panel's limbs live.  Each
     panel is still a full-width MXU matmul (panel width ≥ 128 lanes).
     """
     m, n_out = A.shape[0], B.shape[1]
     if m * n_out <= _PANEL_MAX_OUT:
         return A @ B
     p = max(128, (_PANEL_MAX_OUT // m) // 128 * 128)
-    return jnp.concatenate(
-        [A @ B[:, j : j + p] for j in range(0, n_out, p)], axis=1
-    )
+    nfull = n_out // p
+
+    def body(i, out):
+        Bi = lax.dynamic_slice(B, (0, i * p), (B.shape[0], p))
+        return lax.dynamic_update_slice(out, A @ Bi, (0, i * p))
+
+    out = lax.fori_loop(0, nfull, body, jnp.zeros((m, n_out), A.dtype))
+    if n_out - nfull * p:
+        out = lax.dynamic_update_slice(
+            out, A @ B[:, nfull * p :], (0, nfull * p)
+        )
+    return out
+
+
+def panel_submatmul(M: jax.Array, F: jax.Array, R: jax.Array) -> jax.Array:
+    """``M - F @ R`` with the product computed (and subtracted) panel by
+    panel inside a ``lax.fori_loop`` — never materializes the full-size
+    product, so the peak extra HBM is one panel's output + limb partials
+    (the blocked-GJ update at STOCFOR3 scale would otherwise hold a 4.8 GB
+    product next to the 4.8 GB tableau)."""
+    m, n_out = M.shape
+    if m * n_out <= _PANEL_MAX_OUT:
+        return M - F @ R
+    p = max(128, (_PANEL_MAX_OUT // m) // 128 * 128)
+    nfull = n_out // p
+
+    def body(i, out):
+        Mi = lax.dynamic_slice(out, (0, i * p), (m, p))
+        Ri = lax.dynamic_slice(R, (0, i * p), (R.shape[0], p))
+        return lax.dynamic_update_slice(out, Mi - F @ Ri, (0, i * p))
+
+    out = lax.fori_loop(0, nfull, body, M)
+    if n_out - nfull * p:
+        j = nfull * p
+        out = lax.dynamic_update_slice(
+            out, out[:, j:] - F @ R[:, j:], (0, j)
+        )
+    return out
 
 
 def inverse_residual(B: jax.Array, X: jax.Array) -> jax.Array:
@@ -147,7 +186,7 @@ def blocked_gj_inverse(B: jax.Array, block: int = 1024) -> jax.Array:
             0.0,
             lax.dynamic_slice(M, (0, k0), (m, block)),
         )
-        M = M - panel_matmul(factors, rowsk)
+        M = panel_submatmul(M, factors, rowsk)
         return lax.dynamic_update_slice(M, rowsk, (k0, 0))
 
     M = lax.fori_loop(0, m // block, body, M)
@@ -175,6 +214,11 @@ def newton_refined_inverse(B: jax.Array, refine_steps: int = 3):
     if m > _LU_VMEM_MAX_M:
         blk = 1024 if m % 1024 == 0 else 512
         X = blocked_gj_inverse(B, block=blk)
+        # the blocked seed already works in f64 (only the small diagonal
+        # blocks go through f32), so fewer Newton steps suffice — each step
+        # is two m³ emulated-f64 matmuls (~seconds at m≈17k, and the whole
+        # rebuild must stay under the device-execution watchdog)
+        refine_steps = min(refine_steps, 2)
     else:
         X = jnp.linalg.inv(B.astype(jnp.float32)).astype(B.dtype)
     for _ in range(refine_steps):

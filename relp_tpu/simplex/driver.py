@@ -26,6 +26,11 @@ from relp_tpu.utils.config import DEFAULT_CONFIG, SolverConfig
 
 INF = float("inf")
 
+# Beyond this padded row count the in-loop-refactorized PRIMAL core's
+# compile exceeds TPU HBM (the dual has the external-refactorization path;
+# the primal does not yet) — fail fast instead of OOMing a 40-min compile.
+_PRIMAL_INLOOP_MAX_M = 12288
+
 
 @dataclass
 class SimplexResult:
@@ -264,6 +269,124 @@ def solve_computational_form(
                 phase0=np.asarray(out.phase, np.int32),
             )
 
+    def _run_dual_xl(t, lb_d, ub_d, warm):
+        """Externally refactorized dual solve for XL problems (m_pad >
+        config.refactor_external_m): the hot loop (dual_xl_iterate) exits
+        whenever a refactorization is pending and the host runs it as
+        separate bounded device programs (polish → rebuild fallback →
+        derive).  Keeps every program's HBM peak small — the in-loop
+        lax.cond refactor branch OOMs the compile at STOCFOR3 scale.
+        Returns a SolveOutput-shaped namespace (host numpy), or None."""
+        import jax.numpy as jnp
+
+        from relp_tpu.simplex.dual import (
+            dual_xl_derive,
+            dual_xl_iterate,
+            dual_xl_polish,
+            dual_xl_rebuild,
+        )
+        from relp_tpu.utils.metrics import logger as _log
+
+        nonlocal total_done
+        basis = jnp.asarray(warm["basis0"], jnp.int32)
+        art_sign = jnp.asarray(np.asarray(warm["art_sign0"], np.float64))
+        vstat = jnp.asarray(
+            np.concatenate(
+                [np.asarray(warm["vstat0"], np.int32),
+                 np.full(m_pad, st.NB_LOWER, np.int32)]
+            )
+        )
+
+        Binv, resid = dual_xl_rebuild(A, basis, art_sign, cfg=config)
+        if not np.isfinite(float(resid)) or float(resid) > 1e-6:
+            return None  # (near-)singular start
+        xB, pi, d, beta = dual_xl_derive(A, b, c, lb_d, ub_d, basis, vstat, Binv)
+        since = jnp.int32(0)
+        flips = jnp.int32(0)
+        done_here = 0
+        stalled_cycles = 0
+        status = st.ITERATION_LIMIT
+        while done_here < max_iter:
+            this_chunk = min(chunk, max_iter - done_here)
+            s = dual_xl_iterate(
+                A, b, c, lb_d, ub_d, basis, vstat, xB, Binv, pi, d, beta,
+                since, flips, cfg=config, max_iter=this_chunk,
+            )
+            s = jax.block_until_ready(s)
+            it_here = int(s.it)
+            done_here += it_here
+            total_done += it_here
+            basis, vstat, xB, Binv = s.basis, s.vstat, s.xB, s.Binv
+            pi, d, beta, since, flips = s.pi, s.d, s.beta, s.since_refactor, s.flips
+            status = int(s.status)
+            if _log.isEnabledFor(20):
+                _log.info(
+                    "dual-xl chunk it=%d total=%d status=%d wall=%.1fs",
+                    it_here, done_here, status, t.peek(),
+                )
+            if status != st.RUNNING:
+                break
+            if int(since) < config.refactor_period:
+                continue  # chunk budget hit mid-period: keep iterating
+            # external refactorization: polish, rebuild on a bad residual
+            X1, resid = dual_xl_polish(A, basis, art_sign, Binv)
+            if np.isfinite(float(resid)) and float(resid) < 1e-9:
+                Binv = X1
+            else:
+                del X1
+                Binv, resid2 = dual_xl_rebuild(A, basis, art_sign, cfg=config)
+                if not np.isfinite(float(resid2)) or float(resid2) > 1e-6:
+                    _log.warning(
+                        "dual-xl: singular basis at refactorization "
+                        "(resid=%s) — abandoning the dual path", float(resid2)
+                    )
+                    return None
+            xB, pi, d, beta = dual_xl_derive(
+                A, b, c, lb_d, ub_d, basis, vstat, Binv
+            )
+            since = jnp.int32(0)
+            # numerical-stall guard: a cycle that makes no pivots and still
+            # wants a refactorization cannot make progress forever
+            stalled_cycles = stalled_cycles + 1 if it_here <= 1 else 0
+            if stalled_cycles >= 3:
+                _log.warning("dual-xl: stalled refactorization cycles — stopping")
+                return None
+        if status == st.RUNNING:
+            status = st.ITERATION_LIMIT
+
+        # host-side finalization (the small arithmetic the in-loop form
+        # does after its final refactorization)
+        vstat_np = np.asarray(vstat)
+        basis_np = np.asarray(basis)
+        xB_np = np.asarray(xB)
+        lb_tot = np.concatenate([lb_d, np.zeros(m_pad)])
+        ub_tot = np.concatenate([ub_d, np.zeros(m_pad)])
+        at_lower = (vstat_np == st.NB_LOWER) | (vstat_np == st.NB_FIXED)
+        at_upper = vstat_np == st.NB_UPPER
+        nb = np.where(at_lower, lb_tot, np.where(at_upper, ub_tot, 0.0))
+        nb = np.where(vstat_np == st.BASIC, 0.0, nb)
+        x = nb[:n_pad].copy()
+        struct = basis_np < n_pad
+        x[basis_np[struct]] = xB_np[struct]
+        art_inf = float(np.abs(xB_np[~struct]).sum())
+
+        from types import SimpleNamespace
+
+        return SimpleNamespace(
+            x=x,
+            status=np.int32(status),
+            it=np.int32(done_here),
+            phase=np.int32(2),
+            basis=basis_np,
+            vstat=vstat_np,
+            art_inf=np.float64(art_inf),
+            pi=np.asarray(pi),
+            obj=np.float64(c @ x),
+            art_sign=np.asarray(art_sign),
+            trace=np.zeros((0, 8), np.float32),
+            viol=np.float64(0.0),
+        )
+
     def _run_dual_chunked(t):
         """Dual simplex from scratch (config.algorithm="dual"): the
         all-artificial basis is dual feasible once every nonbasic sits on
@@ -291,32 +414,37 @@ def solve_computational_form(
             vstat0=vstat0,
             art_sign0=np.where(r0 >= 0, 1.0, -1.0),
         )
-        done_here = 0
-        while True:
-            this_chunk = min(chunk, max_iter - done_here)
-            out = solve_core_dual(
-                A, b, c, lb_d, ub_d, warm["basis0"], warm["vstat0"],
-                cfg=config, max_iter=this_chunk, art_sign0=warm["art_sign0"],
-            )
-            out = jax.block_until_ready(out)
-            done_here += int(out.it)
-            total_done += int(out.it)
-            from relp_tpu.utils.metrics import logger as _log
-
-            if _log.isEnabledFor(20):
-                _log.info(
-                    "dual chunk it=%d total=%d status=%d art=%.3e obj=%.9e "
-                    "wall=%.1fs",
-                    int(out.it), done_here, int(out.status),
-                    float(out.art_inf), float(out.obj), t.peek(),
+        if m_pad > config.refactor_external_m:
+            out = _run_dual_xl(t, lb_d, ub_d, warm)
+            if out is None:
+                return None
+        else:
+            done_here = 0
+            while True:
+                this_chunk = min(chunk, max_iter - done_here)
+                out = solve_core_dual(
+                    A, b, c, lb_d, ub_d, warm["basis0"], warm["vstat0"],
+                    cfg=config, max_iter=this_chunk, art_sign0=warm["art_sign0"],
                 )
-            if int(out.status) != st.ITERATION_LIMIT or done_here >= max_iter:
-                break
-            warm = dict(
-                basis0=np.asarray(out.basis, np.int32),
-                vstat0=np.asarray(out.vstat, np.int32)[:n_pad],
-                art_sign0=np.asarray(out.art_sign),
-            )
+                out = jax.block_until_ready(out)
+                done_here += int(out.it)
+                total_done += int(out.it)
+                from relp_tpu.utils.metrics import logger as _log
+
+                if _log.isEnabledFor(20):
+                    _log.info(
+                        "dual chunk it=%d total=%d status=%d art=%.3e obj=%.9e "
+                        "wall=%.1fs",
+                        int(out.it), done_here, int(out.status),
+                        float(out.art_inf), float(out.obj), t.peek(),
+                    )
+                if int(out.status) != st.ITERATION_LIMIT or done_here >= max_iter:
+                    break
+                warm = dict(
+                    basis0=np.asarray(out.basis, np.int32),
+                    vstat0=np.asarray(out.vstat, np.int32)[:n_pad],
+                    art_sign0=np.asarray(out.art_sign),
+                )
         if int(out.status) != st.OPTIMAL:
             return None
         x = np.asarray(out.x)
@@ -327,12 +455,23 @@ def solve_computational_form(
 
     with Timer() as t:
         out = None
-        if (
-            config.algorithm == "dual"
-            and warm_start_builder is None
-            and config.perturb == 0
-        ):
+        # XL problems auto-route to the externally-refactorized dual: the
+        # primal core's in-loop refactor branch cannot compile within HBM
+        # at this scale (config.refactor_external_m)
+        want_dual = config.algorithm == "dual" or m_pad > config.refactor_external_m
+        if want_dual and warm_start_builder is None and config.perturb == 0:
             out = _run_dual_chunked(t)  # None ⇒ fall back to the primal
+        if (
+            out is None
+            and m_pad > _PRIMAL_INLOOP_MAX_M
+            and jax.devices()[0].platform != "cpu"  # CPU has no HBM ceiling
+        ):
+            raise RuntimeError(
+                f"m_pad={m_pad}: the in-loop-refactorized primal core cannot "
+                "compile within TPU HBM at this scale and the externally-"
+                "refactorized dual path was unavailable or failed "
+                "(warm starts and perturbation are primal-only today)"
+            )
         if out is None:
             if config.perturb > 0:
                 # anti-degeneracy: solve with expanded bounds first (ties

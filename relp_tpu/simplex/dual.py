@@ -22,11 +22,22 @@ Per iteration:
      when no candidate exists — the dual is unbounded),
   3. batch-apply the flips (one SpMV + FTRAN), then pivot: u = B⁻¹a_q,
      update xB/B⁻¹/π/statuses.
+
+XL problems (``m_pad > config.refactor_external_m``) run the SAME body
+through the *externally refactorized* entry points ``dual_xl_*``: the
+refactorization leaves the jitted loop entirely and becomes separate small
+device programs orchestrated by the host driver.  Rationale: under this
+TPU's f64 emulation a single in-loop ``lax.cond`` refactor branch holds
+~10 GB of matmul limb-partial temporaries live alongside the 2.4 GB loop
+state (observed on STOCFOR3, m_pad=17408: 51.9 GB HBM demand, 61%
+fragmentation) — bounded device calls with host orchestration are the
+TPU-idiomatic shape for rare heavyweight events.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +47,7 @@ from relp_tpu.ops.amatrix import as_amatrix
 from relp_tpu.ops.linalg import (
     gauss_jordan_inverse,
     inverse_residual,
+    newton_refined_inverse,
     panel_matmul,
     robust_inverse,
 )
@@ -46,76 +58,69 @@ from relp_tpu.utils.config import SolverConfig
 INF = jnp.inf
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def solve_core_dual(
-    A, b, c, lb, ub, basis0, vstat0, cfg: SolverConfig, max_iter: int,
-    art_sign0=None,
-) -> SolveOutput:
-    """Dual simplex from a dual-feasible warm basis (padded arrays as in
-    ``solve_core``).  If the start is not dual feasible the method may stop
-    at a dual-infeasible point — callers should fall back to the primal
-    core on a NUMERICAL/ITERATION_LIMIT outcome.
+class DState(NamedTuple):
+    basis: jax.Array
+    vstat: jax.Array  # i32[n+m] — statuses incl. artificial slots
+    xB: jax.Array
+    Binv: jax.Array
+    pi: jax.Array
+    d: jax.Array      # f64[n] — reduced costs, maintained incrementally
+    #                   (d' = d − θ_D·α; recomputed at refactorization)
+    beta: jax.Array   # f64[m] — EXACT dual steepest-edge row weights
+    #                   β_i = ‖B⁻¹[i,:]‖² (Forrest–Goldfarb update via
+    #                   τ = B⁻¹·B⁻¹[r,:]ᵀ; reset at refactorization)
+    status: jax.Array
+    it: jax.Array
+    since_refactor: jax.Array
+    repairs: jax.Array
+    flips: jax.Array  # i32 — total bound flips applied by the BFRT
 
-    ``art_sign0`` carries the artificial column signs of a prior primal
-    solve (``SolveOutput.art_sign``): the primal engine's artificial columns
-    are *signed* ±e_i, and a basis containing a sign-−1 artificial (e.g. on
-    a redundant row) must be refactorized with that sign or B is wrong on
-    those rows.
+
+def _basis_matrix(A, basis, art_sign):
+    """Gather the (m, m) basis matrix; artificial columns are virtual
+    ±e_i (signed — see ``solve_core_dual``'s ``art_sign0``)."""
+    m, n = A.shape
+    is_art = basis >= n
+    struct_cols = A.cols_matrix(jnp.clip(basis, 0, n - 1))
+    k = jnp.clip(basis - n, 0, m - 1)
+    art_cols = (jnp.arange(m)[:, None] == k[None, :]) * art_sign[k][None, :]
+    return jnp.where(is_art[None, :], art_cols, struct_cols), is_art
+
+
+def _derived_state(A, b, c, lb_tot, ub_tot, basis, vstat, Binv):
+    """Recompute the loop state derived from (basis, vstat, B⁻¹):
+    xB, π, reduced costs and exact DSE weights."""
+    m, n = A.shape
+    is_art = basis >= n
+    nb = _nonbasic_values(vstat, lb_tot, ub_tot)
+    nb = jnp.where(vstat == st.BASIC, 0.0, nb)
+    r = b - A.matvec(nb[:n])
+    xB = Binv @ r
+    cB = jnp.where(is_art, 0.0, jnp.take(c, jnp.clip(basis, 0, n - 1)))
+    pi = cB @ Binv
+    d = c - A.rmatvec(pi)
+    beta = jnp.sum(Binv * Binv, axis=1)
+    return xB, pi, d, beta
+
+
+def _make_kernel(A, b, c, lb, ub, art_sign, cfg: SolverConfig, max_iter,
+                 external: bool):
+    """Shared dual-simplex closures over DState.
+
+    ``external=False``: the classic single-program form — the body starts
+    with a ``lax.cond`` refactorization when due.  ``external=True``: the
+    body never refactorizes; instead the loop *condition* stops when a
+    refactorization is pending (``since_refactor >= refactor_period``) and
+    the host driver runs the ``dual_xl_*`` programs before re-entering.
     """
-    A = as_amatrix(A)
     m, n = A.shape
     f = A.dtype
-    art_sign = (
-        jnp.ones(m, f) if art_sign0 is None else art_sign0.astype(f)
-    )
-
     lb_tot = jnp.concatenate([lb, jnp.zeros(m, f)])
     ub_tot = jnp.concatenate([ub, jnp.zeros(m, f)])
     boxed_range = ub - lb  # flip capacity of each column (INF when unboxed)
 
-    from typing import NamedTuple
-
-    class DState(NamedTuple):
-        basis: jax.Array
-        vstat: jax.Array
-        xB: jax.Array
-        Binv: jax.Array
-        pi: jax.Array
-        d: jax.Array      # f64[n] — reduced costs, maintained incrementally
-        #                   (d' = d − θ_D·α; recomputed at refactorization)
-        beta: jax.Array   # f64[m] — EXACT dual steepest-edge row weights
-        #                   β_i = ‖B⁻¹[i,:]‖² (Forrest–Goldfarb update via
-        #                   τ = B⁻¹·B⁻¹[r,:]ᵀ; reset at refactorization)
-        status: jax.Array
-        it: jax.Array
-        since_refactor: jax.Array
-        repairs: jax.Array
-        flips: jax.Array  # i32 — total bound flips applied by the BFRT
-
-    vstat_full = jnp.concatenate(
-        [vstat0.astype(jnp.int32), jnp.full(m, st.NB_LOWER, jnp.int32)]
-    )
-    state0 = DState(
-        basis=basis0.astype(jnp.int32),
-        vstat=vstat_full,
-        xB=jnp.zeros(m, f),
-        Binv=jnp.eye(m, dtype=f),
-        pi=jnp.zeros(m, f),
-        d=jnp.zeros(n, f),
-        beta=jnp.ones(m, f),
-        status=jnp.int32(st.RUNNING),
-        it=jnp.int32(0),
-        since_refactor=jnp.int32(cfg.refactor_period),  # refactor first
-        repairs=jnp.int32(0),
-        flips=jnp.int32(0),
-    )
-
     def refactor(s: DState) -> DState:
-        is_art = s.basis >= n
-        struct_cols = A.cols_matrix(jnp.clip(s.basis, 0, n - 1))
-        k = jnp.clip(s.basis - n, 0, m - 1)
-        art_cols = (jnp.arange(m)[:, None] == k[None, :]) * art_sign[k][None, :]
-        B = jnp.where(is_art[None, :], art_cols, struct_cols)
+        B, is_art = _basis_matrix(A, s.basis, art_sign)
 
         def rebuild_full(_):
             if cfg.newton_refactor:
@@ -138,25 +143,25 @@ def solve_core_dual(
             )
         else:
             Binv, min_piv = rebuild_full(None)
-        nb = _nonbasic_values(s.vstat, lb_tot, ub_tot)
-        nb = jnp.where(s.vstat == st.BASIC, 0.0, nb)
-        r = b - A.matvec(nb[:n])
-        xB = Binv @ r
-        cB = jnp.where(is_art, 0.0, jnp.take(c, jnp.clip(s.basis, 0, n - 1)))
-        pi = cB @ Binv
+        xB, pi, d, beta = _derived_state(
+            A, b, c, lb_tot, ub_tot, s.basis, s.vstat, Binv
+        )
         singular = min_piv < cfg.singular_tol
         return s._replace(
             Binv=Binv,
             xB=xB,
             pi=pi,
-            d=c - A.rmatvec(pi),
-            beta=jnp.sum(Binv * Binv, axis=1),
+            d=d,
+            beta=beta,
             since_refactor=jnp.int32(0),
             status=jnp.where(singular, st.NUMERICAL, s.status).astype(jnp.int32),
         )
 
     def body(s: DState) -> DState:
-        s = lax.cond(s.since_refactor >= cfg.refactor_period, refactor, lambda s: s, s)
+        if not external:
+            s = lax.cond(
+                s.since_refactor >= cfg.refactor_period, refactor, lambda s: s, s
+            )
         broken = ~jnp.isfinite(jnp.sum(s.xB) + jnp.sum(s.pi))
         fresh = s.since_refactor == 0
 
@@ -354,8 +359,60 @@ def solve_core_dual(
         )
 
     def cond(s: DState):
-        return (s.status == st.RUNNING) & (s.it < max_iter)
+        run = (s.status == st.RUNNING) & (s.it < max_iter)
+        if external:
+            run = run & (s.since_refactor < cfg.refactor_period)
+        return run
 
+    return refactor, body, cond
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def solve_core_dual(
+    A, b, c, lb, ub, basis0, vstat0, cfg: SolverConfig, max_iter: int,
+    art_sign0=None,
+) -> SolveOutput:
+    """Dual simplex from a dual-feasible warm basis (padded arrays as in
+    ``solve_core``).  If the start is not dual feasible the method may stop
+    at a dual-infeasible point — callers should fall back to the primal
+    core on a NUMERICAL/ITERATION_LIMIT outcome.
+
+    ``art_sign0`` carries the artificial column signs of a prior primal
+    solve (``SolveOutput.art_sign``): the primal engine's artificial columns
+    are *signed* ±e_i, and a basis containing a sign-−1 artificial (e.g. on
+    a redundant row) must be refactorized with that sign or B is wrong on
+    those rows.
+    """
+    A = as_amatrix(A)
+    m, n = A.shape
+    f = A.dtype
+    art_sign = (
+        jnp.ones(m, f) if art_sign0 is None else art_sign0.astype(f)
+    )
+    lb_tot = jnp.concatenate([lb, jnp.zeros(m, f)])
+    ub_tot = jnp.concatenate([ub, jnp.zeros(m, f)])
+
+    vstat_full = jnp.concatenate(
+        [vstat0.astype(jnp.int32), jnp.full(m, st.NB_LOWER, jnp.int32)]
+    )
+    state0 = DState(
+        basis=basis0.astype(jnp.int32),
+        vstat=vstat_full,
+        xB=jnp.zeros(m, f),
+        Binv=jnp.eye(m, dtype=f),
+        pi=jnp.zeros(m, f),
+        d=jnp.zeros(n, f),
+        beta=jnp.ones(m, f),
+        status=jnp.int32(st.RUNNING),
+        it=jnp.int32(0),
+        since_refactor=jnp.int32(cfg.refactor_period),  # refactor first
+        repairs=jnp.int32(0),
+        flips=jnp.int32(0),
+    )
+
+    refactor, body, cond = _make_kernel(
+        A, b, c, lb, ub, art_sign, cfg, max_iter, external=False
+    )
     final = lax.while_loop(cond, body, state0)
     final = final._replace(
         status=jnp.where(
@@ -386,3 +443,83 @@ def solve_core_dual(
         trace=jnp.zeros((0, 8), jnp.float32),
         viol=jnp.zeros((), f),
     )
+
+
+# ---------------------------------------------------------------------------
+# Externally refactorized (XL) entry points.  The driver orchestrates:
+#
+#   rebuild (cold)  →  derive  →  iterate ... ┐
+#        ▲                                    │ since_refactor pending
+#        └── (residual bad) ── polish ◄───────┘
+#
+# Each is a separate XLA program with a bounded HBM peak; ``iterate`` is the
+# hot loop and carries/donates the 𝑂(m²) inverse so chunked continuations
+# never copy it.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def dual_xl_rebuild(A, basis, art_sign, cfg: SolverConfig):
+    """From-scratch inverse of the current basis: blocked-GJ f32 seed +
+    Newton-Schulz refinement (ops/linalg.py).  Returns ``(Binv, resid)``;
+    a non-finite or large residual means (near-)singular."""
+    A = as_amatrix(A)
+    B, _ = _basis_matrix(A, basis.astype(jnp.int32), art_sign)
+    return newton_refined_inverse(B)
+
+
+@functools.partial(jax.jit, donate_argnums=(3,))
+def dual_xl_polish(A, basis, art_sign, Binv):
+    """One Newton-Schulz step on the maintained inverse against the fresh
+    basis columns + probe residual.  Returns ``(X1, resid)``; the driver
+    falls back to :func:`dual_xl_rebuild` when ``resid`` is unhealthy."""
+    A = as_amatrix(A)
+    f = A.dtype
+    m = A.shape[0]
+    B, _ = _basis_matrix(A, basis.astype(jnp.int32), art_sign)
+    X1 = panel_matmul(Binv, 2.0 * jnp.eye(m, dtype=f) - panel_matmul(B, Binv))
+    return X1, inverse_residual(B, X1)
+
+
+@jax.jit
+def dual_xl_derive(A, b, c, lb, ub, basis, vstat, Binv):
+    """Recompute (xB, π, d, β) from a freshly refactorized inverse."""
+    A = as_amatrix(A)
+    m = A.shape[0]
+    f = A.dtype
+    lb_tot = jnp.concatenate([lb, jnp.zeros(m, f)])
+    ub_tot = jnp.concatenate([ub, jnp.zeros(m, f)])
+    return _derived_state(
+        A, b, c, lb_tot, ub_tot, basis.astype(jnp.int32), vstat, Binv
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(8,))
+def dual_xl_iterate(
+    A, b, c, lb, ub, basis, vstat, xB, Binv, pi, d, beta, since_refactor,
+    flips, cfg: SolverConfig, max_iter,
+) -> DState:
+    """Run dual iterations until terminal, out of budget, or a
+    refactorization is pending (``since_refactor >= cfg.refactor_period`` —
+    the host then runs polish/rebuild + derive and re-enters).  ``vstat``
+    is the FULL (n+m) status vector; ``Binv`` is donated."""
+    A = as_amatrix(A)
+    art_sign = jnp.ones(A.shape[0], A.dtype)  # unused: body never refactors
+    _, body, cond = _make_kernel(
+        A, b, c, lb, ub, art_sign, cfg, max_iter, external=True
+    )
+    state0 = DState(
+        basis=basis.astype(jnp.int32),
+        vstat=vstat.astype(jnp.int32),
+        xB=xB,
+        Binv=Binv,
+        pi=pi,
+        d=d,
+        beta=beta,
+        status=jnp.int32(st.RUNNING),
+        it=jnp.int32(0),
+        since_refactor=since_refactor.astype(jnp.int32),
+        repairs=jnp.int32(0),
+        flips=flips.astype(jnp.int32),
+    )
+    return lax.while_loop(cond, body, state0)

@@ -74,6 +74,15 @@ class SolverConfig:
     # fallback; False forces plain Gauss-Jordan.
     newton_refactor: bool = True
 
+    # Above this padded row count the refactorization moves OUT of the
+    # jitted while-loop: the loop exits when a refactorization is pending
+    # and the host driver runs it as separate small device programs
+    # (dual_xl_* in simplex/dual.py).  Under this TPU's f64 emulation an
+    # in-loop lax.cond refactor branch holds ~10 GB of matmul limb-partial
+    # temporaries live alongside the O(m²) loop state (observed OOM on
+    # STOCFOR3, m_pad=17408: 51.9 GB demand vs 15.75 GB HBM).
+    refactor_external_m: int = 12288
+
     # How the periodic refactorization obtains the inverse:
     # - "polish": ONE Newton-Schulz step on the MAINTAINED inverse against
     #   the freshly gathered basis columns (3 m³ matmuls incl. the residual

@@ -120,6 +120,64 @@ def test_dual_from_scratch(name, expected, tol):
     assert abs(res.solution.objective_value - expected) <= tol
 
 
+# ---- externally refactorized (XL) dual path --------------------------------
+
+
+@pytest.mark.netlib
+@pytest.mark.parametrize(
+    "name,expected,tol",
+    [
+        ("AFIRO", -464.75314, 1e-3),
+        ("SHARE1B", -7.658931857918568e4, 77.0),
+        ("DEGEN2", -1.4351780e3, 1e-1),
+    ],
+)
+def test_dual_xl_external_refactor(name, expected, tol):
+    """`refactor_external_m=1` forces every solve through the XL
+    orchestration (dual_xl_rebuild/polish/derive/iterate with the
+    refactorization OUT of the jitted loop — the form used beyond
+    m_pad=12288 where the in-loop refactor branch exceeds TPU HBM).
+    Must match the in-loop path's objectives."""
+    from relp_tpu.api import solve as _solve
+    from relp_tpu.model.elements import LinearProgramType
+    from tests.conftest import reference_problem
+
+    res = _solve(
+        reference_problem("netlib", f"{name}.SIF"),
+        config=SolverConfig(algorithm="dual", refactor_external_m=1),
+    )
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert abs(res.solution.objective_value - expected) <= tol
+
+
+def test_dual_xl_infeasible_falls_back(tmp_path):
+    """An infeasible LP through the XL orchestration: the dual's
+    INFEASIBLE verdict is not trusted as a certificate for the original
+    problem (the temporary box tightens bounds), so the driver must fall
+    back to the primal cleanly and report INFEASIBLE."""
+    from relp_tpu.api import solve as _solve
+    from relp_tpu.model.elements import LinearProgramType
+
+    mps = tmp_path / "infeas.mps"
+    mps.write_text(
+        "NAME infeas\n"
+        "ROWS\n N COST\n E R1\n"
+        "COLUMNS\n"
+        "    X  COST  1.0  R1  1.0\n"
+        "    Y  COST  1.0  R1  1.0\n"
+        "RHS\n    RHS  R1  5.0\n"
+        "BOUNDS\n UP BND X 1.0\n UP BND Y 1.0\n"
+        "ENDATA\n"
+    )
+    res = _solve(
+        str(mps),
+        config=SolverConfig(
+            algorithm="dual", refactor_external_m=1, presolve=False
+        ),
+    )
+    assert res.kind is LinearProgramType.INFEASIBLE
+
+
 def test_dual_falls_back_on_unbounded():
     """An unbounded LP has no dual-feasible point reachable without the
     temporary box binding — the driver must fall back to the primal and
