@@ -82,19 +82,30 @@ def panel_matmul(A: jax.Array, B: jax.Array) -> jax.Array:
     m, n_out = A.shape[0], B.shape[1]
     if m * n_out <= _PANEL_MAX_OUT:
         return A @ B
-    p = max(128, (_PANEL_MAX_OUT // m) // 128 * 128)
-    nfull = n_out // p
+    p = _panel_width(n_out, m)
 
     def body(i, out):
         Bi = lax.dynamic_slice(B, (0, i * p), (B.shape[0], p))
         return lax.dynamic_update_slice(out, A @ Bi, (0, i * p))
 
-    out = lax.fori_loop(0, nfull, body, jnp.zeros((m, n_out), A.dtype))
-    if n_out - nfull * p:
-        out = lax.dynamic_update_slice(
-            out, A @ B[:, nfull * p :], (0, nfull * p)
-        )
-    return out
+    return lax.fori_loop(0, n_out // p, body, jnp.zeros((m, n_out), A.dtype))
+
+
+def _panel_width(n_out: int, m: int) -> int:
+    """Largest panel width that exactly divides ``n_out`` under the limb
+    budget, preferring lane-aligned (×128) widths.  Exact division matters:
+    a remainder matmul OUTSIDE the fori_loop makes XLA materialize all 8
+    f64-emulation limbs of the m×m input at once (observed 9 GB f32[8,m,m]
+    on STOCFOR3's rebuild), while in-loop dots stream limb by limb."""
+    cap = max(1, _PANEL_MAX_OUT // m)
+    if n_out <= cap:
+        return n_out
+    for step in (128, 8, 1):
+        top = min(cap, n_out) // step * step
+        for p in range(top, 0, -step):
+            if n_out % p == 0:
+                return p
+    return 1
 
 
 def panel_submatmul(M: jax.Array, F: jax.Array, R: jax.Array) -> jax.Array:
@@ -106,21 +117,14 @@ def panel_submatmul(M: jax.Array, F: jax.Array, R: jax.Array) -> jax.Array:
     m, n_out = M.shape
     if m * n_out <= _PANEL_MAX_OUT:
         return M - F @ R
-    p = max(128, (_PANEL_MAX_OUT // m) // 128 * 128)
-    nfull = n_out // p
+    p = _panel_width(n_out, m)
 
     def body(i, out):
         Mi = lax.dynamic_slice(out, (0, i * p), (m, p))
         Ri = lax.dynamic_slice(R, (0, i * p), (R.shape[0], p))
         return lax.dynamic_update_slice(out, Mi - F @ Ri, (0, i * p))
 
-    out = lax.fori_loop(0, nfull, body, M)
-    if n_out - nfull * p:
-        j = nfull * p
-        out = lax.dynamic_update_slice(
-            out, out[:, j:] - F @ R[:, j:], (0, j)
-        )
-    return out
+    return lax.fori_loop(0, n_out // p, body, M)
 
 
 def inverse_residual(B: jax.Array, X: jax.Array) -> jax.Array:
