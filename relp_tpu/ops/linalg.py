@@ -79,14 +79,23 @@ def panel_matmul(A: jax.Array, B: jax.Array) -> jax.Array:
     the sequential loop keeps exactly ONE panel's limbs live.  Each
     panel is still a full-width MXU matmul (panel width ≥ 128 lanes).
     """
-    m, n_out = A.shape[0], B.shape[1]
-    if m * n_out <= _PANEL_MAX_OUT:
+    m, K = A.shape
+    n_out = B.shape[1]
+    if max(m * n_out, m * K, K * n_out) <= _PANEL_MAX_OUT:
         return A @ B
     p = _panel_width(n_out, m)
+    kb = _panel_width(K, m)
 
     def body(i, out):
-        Bi = lax.dynamic_slice(B, (0, i * p), (B.shape[0], p))
-        return lax.dynamic_update_slice(out, A @ Bi, (0, i * p))
+        j = i * p
+
+        def inner(k, acc):
+            Ak = lax.dynamic_slice(A, (0, k * kb), (m, kb))
+            Bk = lax.dynamic_slice(B, (k * kb, j), (kb, p))
+            return acc + Ak @ Bk
+
+        Ci = lax.fori_loop(0, K // kb, inner, jnp.zeros((m, p), A.dtype))
+        return lax.dynamic_update_slice(out, Ci, (0, j))
 
     return lax.fori_loop(0, n_out // p, body, jnp.zeros((m, n_out), A.dtype))
 
@@ -115,14 +124,24 @@ def panel_submatmul(M: jax.Array, F: jax.Array, R: jax.Array) -> jax.Array:
     (the blocked-GJ update at STOCFOR3 scale would otherwise hold a 4.8 GB
     product next to the 4.8 GB tableau)."""
     m, n_out = M.shape
-    if m * n_out <= _PANEL_MAX_OUT:
+    K = F.shape[1]
+    if max(m * n_out, m * K, K * n_out) <= _PANEL_MAX_OUT:
         return M - F @ R
     p = _panel_width(n_out, m)
+    kb = _panel_width(K, m)
 
     def body(i, out):
-        Mi = lax.dynamic_slice(out, (0, i * p), (m, p))
-        Ri = lax.dynamic_slice(R, (0, i * p), (R.shape[0], p))
-        return lax.dynamic_update_slice(out, Mi - F @ Ri, (0, i * p))
+        j = i * p
+        Mi = lax.dynamic_slice(out, (0, j), (m, p))
+
+        def inner(k, acc):
+            Fk = lax.dynamic_slice(F, (0, k * kb), (m, kb))
+            Rk = lax.dynamic_slice(R, (k * kb, j), (kb, p))
+            return acc - Fk @ Rk
+
+        return lax.dynamic_update_slice(
+            out, lax.fori_loop(0, K // kb, inner, Mi), (0, j)
+        )
 
     return lax.fori_loop(0, n_out // p, body, M)
 
