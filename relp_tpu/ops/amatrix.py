@@ -95,8 +95,10 @@ class DenseMatrix:
         return jnp.take(self.A, q, axis=1)
 
     def ftran(self, Binv, q):
-        """B⁻¹ a_q."""
-        return Binv @ self.col(q)
+        """B⁻¹ a_q (panel-safe at XL scale — see ops/linalg.panel_matvec)."""
+        from relp_tpu.ops.linalg import panel_matvec
+
+        return panel_matvec(Binv, self.col(q))
 
     def col_dot(self, pi, q):
         """πᵀ a_q (scalar, f64)."""

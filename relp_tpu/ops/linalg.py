@@ -68,6 +68,16 @@ def gauss_jordan_inverse(B: jax.Array, tiny: float = 1e-300):
 _PANEL_MAX_OUT = 1 << 26
 
 
+def _pin(x: jax.Array) -> jax.Array:
+    """Pin a sliced dot operand so the f64-emulation limb expansion stays
+    at panel size.  Without this, XLA commutes ``limb_expand(dynamic_slice
+    (A))`` into ``dynamic_slice(limb_expand(A))`` and LICM then hoists the
+    FULL f32[8,m,m] expansion out of the panel ``fori_loop`` (observed on
+    STOCFOR3's rebuild: a 9.03 GB ``copy(get-tuple-element)`` carried by
+    the loop).  ``optimization_barrier`` is opaque to that rewrite."""
+    return lax.optimization_barrier(x)
+
+
 def panel_matmul(A: jax.Array, B: jax.Array) -> jax.Array:
     """``A @ B``, computed in column panels of ``B`` when the output is
     large enough that the f64-emulation limb partials would blow HBM.
@@ -90,8 +100,8 @@ def panel_matmul(A: jax.Array, B: jax.Array) -> jax.Array:
         j = i * p
 
         def inner(k, acc):
-            Ak = lax.dynamic_slice(A, (0, k * kb), (m, kb))
-            Bk = lax.dynamic_slice(B, (k * kb, j), (kb, p))
+            Ak = _pin(lax.dynamic_slice(A, (0, k * kb), (m, kb)))
+            Bk = _pin(lax.dynamic_slice(B, (k * kb, j), (kb, p)))
             return acc + Ak @ Bk
 
         Ci = lax.fori_loop(0, K // kb, inner, jnp.zeros((m, p), A.dtype))
@@ -135,8 +145,8 @@ def panel_submatmul(M: jax.Array, F: jax.Array, R: jax.Array) -> jax.Array:
         Mi = lax.dynamic_slice(out, (0, j), (m, p))
 
         def inner(k, acc):
-            Fk = lax.dynamic_slice(F, (0, k * kb), (m, kb))
-            Rk = lax.dynamic_slice(R, (k * kb, j), (kb, p))
+            Fk = _pin(lax.dynamic_slice(F, (0, k * kb), (m, kb)))
+            Rk = _pin(lax.dynamic_slice(R, (k * kb, j), (kb, p)))
             return acc - Fk @ Rk
 
         return lax.dynamic_update_slice(
@@ -144,6 +154,38 @@ def panel_submatmul(M: jax.Array, F: jax.Array, R: jax.Array) -> jax.Array:
         )
 
     return lax.fori_loop(0, n_out // p, body, M)
+
+
+def panel_matvec(M: jax.Array, v: jax.Array) -> jax.Array:
+    """``M @ v`` computed in row panels when ``M`` is large enough that the
+    f64-emulation would materialize a full f32[4, m, K] limb expansion of
+    the matrix operand (observed 4.52 GB on STOCFOR3's rebuild from a
+    single m×m probe matvec).  Each panel dot sees a pinned (p, K) slice,
+    bounding the live limb buffer to one panel's."""
+    m, K = M.shape
+    if m * K <= _PANEL_MAX_OUT:
+        return M @ v
+    p = _panel_width(m, K)
+
+    def body(i, out):
+        Mi = _pin(lax.dynamic_slice(M, (i * p, 0), (p, K)))
+        return lax.dynamic_update_slice(out, Mi @ v, (i * p,))
+
+    return lax.fori_loop(0, m // p, body, jnp.zeros((m,), M.dtype))
+
+
+def panel_vecmat(v: jax.Array, M: jax.Array) -> jax.Array:
+    """``v @ M`` in column panels of ``M`` (see :func:`panel_matvec`)."""
+    K, n_out = M.shape
+    if K * n_out <= _PANEL_MAX_OUT:
+        return v @ M
+    p = _panel_width(n_out, K)
+
+    def body(i, out):
+        Mi = _pin(lax.dynamic_slice(M, (0, i * p), (K, p)))
+        return lax.dynamic_update_slice(out, v @ Mi, (i * p,))
+
+    return lax.fori_loop(0, n_out // p, body, jnp.zeros((n_out,), M.dtype))
 
 
 def inverse_residual(B: jax.Array, X: jax.Array) -> jax.Array:
@@ -168,7 +210,7 @@ def inverse_residual(B: jax.Array, X: jax.Array) -> jax.Array:
     )
     r = jnp.array(0.0, B.dtype)
     for v in probes:
-        r = jnp.maximum(r, jnp.max(jnp.abs(v - B @ (X @ v))))
+        r = jnp.maximum(r, jnp.max(jnp.abs(v - panel_matvec(B, panel_matvec(X, v)))))
     return r
 
 

@@ -49,6 +49,8 @@ from relp_tpu.ops.linalg import (
     inverse_residual,
     newton_refined_inverse,
     panel_matmul,
+    panel_matvec,
+    panel_vecmat,
     robust_inverse,
 )
 from relp_tpu.simplex import status as st
@@ -95,9 +97,9 @@ def _derived_state(A, b, c, lb_tot, ub_tot, basis, vstat, Binv):
     nb = _nonbasic_values(vstat, lb_tot, ub_tot)
     nb = jnp.where(vstat == st.BASIC, 0.0, nb)
     r = b - A.matvec(nb[:n])
-    xB = Binv @ r
+    xB = panel_matvec(Binv, r)
     cB = jnp.where(is_art, 0.0, jnp.take(c, jnp.clip(basis, 0, n - 1)))
-    pi = cB @ Binv
+    pi = panel_vecmat(cB, Binv)
     d = c - A.rmatvec(pi)
     beta = jnp.sum(Binv * Binv, axis=1)
     return xB, pi, d, beta
@@ -280,7 +282,7 @@ def _make_kernel(A, b, c, lb, ub, art_sign, cfg: SolverConfig, max_iter,
                 jnp.where(vs == st.NB_LOWER, boxed_range, -boxed_range),
                 0.0,
             )
-            return xB - s.Binv @ A.matvec(dx)
+            return xB - panel_matvec(s.Binv, A.matvec(dx))
 
         xB_f = lax.cond(
             do_pivot & (n_flips > 0), with_flips, lambda xB: xB, s.xB
@@ -306,7 +308,7 @@ def _make_kernel(A, b, c, lb, ub, art_sign, cfg: SolverConfig, max_iter,
         # Forrest–Goldfarb exact dual-steepest-edge weight update:
         #   τ = B⁻¹·(B⁻¹[r,:])ᵀ;  β_r' = β_r/p²;
         #   β_i' = β_i − 2(u_i/p)·τ_i + (u_i/p)²·β_r   (i ≠ r)
-        tau = s.Binv @ rho
+        tau = panel_matvec(s.Binv, rho)
         ratio_u = u / p_safe
         beta_r = s.beta[r]
         beta_new = s.beta - 2.0 * ratio_u * tau + ratio_u * ratio_u * beta_r
