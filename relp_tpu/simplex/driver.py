@@ -284,6 +284,7 @@ def solve_computational_form(
             dual_xl_iterate,
             dual_xl_polish,
             dual_xl_rebuild,
+            dual_xl_resid,
         )
         from relp_tpu.utils.metrics import logger as _log
 
@@ -328,19 +329,30 @@ def solve_computational_form(
                 break
             if int(since) < config.refactor_period:
                 continue  # chunk budget hit mid-period: keep iterating
-            # external refactorization: polish, rebuild on a bad residual
-            X1, resid = dual_xl_polish(A, basis, art_sign, Binv)
-            if np.isfinite(float(resid)) and float(resid) < 1e-9:
-                Binv = X1
-            else:
-                del X1
-                Binv, resid2 = dual_xl_rebuild(A, basis, art_sign, cfg=config)
-                if not np.isfinite(float(resid2)) or float(resid2) > 1e-6:
-                    _log.warning(
-                        "dual-xl: singular basis at refactorization "
-                        "(resid=%s) — abandoning the dual path", float(resid2)
+            # external refactorization: probe-check first (8 m² matvecs) —
+            # polish (two m³ emulated-f64 matmuls) only once the product-
+            # form drift actually crosses the SAME 1e-9 health bar, then
+            # full rebuild on a bad post-polish residual
+            resid0 = dual_xl_resid(A, basis, art_sign, Binv)
+            if np.isfinite(float(resid0)) and float(resid0) < 1e-9:
+                if _log.isEnabledFor(20):
+                    _log.info(
+                        "dual-xl refactor: inverse healthy (resid=%.2e) — "
+                        "polish skipped", float(resid0),
                     )
-                    return None
+            else:
+                X1, resid = dual_xl_polish(A, basis, art_sign, Binv)
+                if np.isfinite(float(resid)) and float(resid) < 1e-9:
+                    Binv = X1
+                else:
+                    del X1
+                    Binv, resid2 = dual_xl_rebuild(A, basis, art_sign, cfg=config)
+                    if not np.isfinite(float(resid2)) or float(resid2) > 1e-6:
+                        _log.warning(
+                            "dual-xl: singular basis at refactorization "
+                            "(resid=%s) — abandoning the dual path", float(resid2)
+                        )
+                        return None
             xB, pi, d, beta = dual_xl_derive(
                 A, b, c, lb_d, ub_d, basis, vstat, Binv
             )

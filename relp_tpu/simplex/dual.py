@@ -470,6 +470,19 @@ def dual_xl_rebuild(A, basis, art_sign, cfg: SolverConfig):
     return newton_refined_inverse(B)
 
 
+@jax.jit
+def dual_xl_resid(A, basis, art_sign, Binv):
+    """Probe residual of the MAINTAINED inverse against the current basis
+    columns (ops/linalg.inverse_residual — 4 sign-pattern probes, 8 panel
+    matvecs).  ~m/4 000× fewer FLOPs than a Newton polish (two m³ emulated
+    -f64 matmuls): the driver checks this first and skips the polish while
+    the rank-1 product-form drift is still below the SAME 1e-9 health bar
+    the polish itself applies, so the freshness invariant is unchanged."""
+    A = as_amatrix(A)
+    B, _ = _basis_matrix(A, basis.astype(jnp.int32), art_sign)
+    return inverse_residual(B, Binv)
+
+
 @functools.partial(jax.jit, donate_argnums=(3,))
 def dual_xl_polish(A, basis, art_sign, Binv):
     """One Newton-Schulz step on the maintained inverse against the fresh
