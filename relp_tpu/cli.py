@@ -82,6 +82,12 @@ def main(argv=None) -> int:
         default="dense",
         help="basis-inverse backend (eta = block product-form, large m)",
     )
+    ap.add_argument(
+        "--dual-pricing",
+        choices=["dse", "devex"],
+        default="dse",
+        help="dual row weights (devex skips the per-pivot B⁻¹ matvec)",
+    )
     args = ap.parse_args(argv)
 
     config = SolverConfig(
@@ -95,6 +101,7 @@ def main(argv=None) -> int:
         inverse=args.inverse,
         perturb=args.perturb,
         algorithm=args.algorithm,
+        dual_pricing=args.dual_pricing,
     )
 
     t0 = time.perf_counter()

@@ -305,15 +305,28 @@ def _make_kernel(A, b, c, lb, ub, art_sign, cfg: SolverConfig, max_iter,
         # incremental reduced costs: d' = d − θ_D·α (exact identity; the
         # entering column's d becomes 0, the leaving column's −θ_D)
         d_new = (d - theta_d * alpha).at[q].set(0.0)
-        # Forrest–Goldfarb exact dual-steepest-edge weight update:
-        #   τ = B⁻¹·(B⁻¹[r,:])ᵀ;  β_r' = β_r/p²;
-        #   β_i' = β_i − 2(u_i/p)·τ_i + (u_i/p)²·β_r   (i ≠ r)
-        tau = panel_matvec(s.Binv, rho)
         ratio_u = u / p_safe
         beta_r = s.beta[r]
-        beta_new = s.beta - 2.0 * ratio_u * tau + ratio_u * ratio_u * beta_r
-        beta_new = beta_new.at[r].set(beta_r / (p_safe * p_safe))
-        beta_new = jnp.maximum(beta_new, 1e-12)
+        if cfg.dual_pricing == "devex":
+            # Devex reference weights (dual form): γ_i' = max(γ_i,
+            # (u_i/p)²·γ_r), γ_r' = max(γ_r/p², 1) — needs only the FTRAN
+            # column u, removing the ONLY remaining full-m² matvec per
+            # iteration at XL scale.  Exactness is restored at every
+            # refactorization (_derived_state recomputes β = ‖B⁻¹[i,:]‖²),
+            # so the approximation drifts for at most refactor_period pivots.
+            beta_new = jnp.maximum(s.beta, ratio_u * ratio_u * beta_r)
+            beta_new = beta_new.at[r].set(
+                jnp.maximum(beta_r / (p_safe * p_safe), 1.0)
+            )
+            beta_new = jnp.clip(beta_new, 1e-12, 1e12)
+        else:
+            # Forrest–Goldfarb exact dual-steepest-edge weight update:
+            #   τ = B⁻¹·(B⁻¹[r,:])ᵀ;  β_r' = β_r/p²;
+            #   β_i' = β_i − 2(u_i/p)·τ_i + (u_i/p)²·β_r   (i ≠ r)
+            tau = panel_matvec(s.Binv, rho)
+            beta_new = s.beta - 2.0 * ratio_u * tau + ratio_u * ratio_u * beta_r
+            beta_new = beta_new.at[r].set(beta_r / (p_safe * p_safe))
+            beta_new = jnp.maximum(beta_new, 1e-12)
 
         kr = k[r]
         leave_stat = jnp.where(leaving_below, st.NB_LOWER, st.NB_UPPER)

@@ -152,6 +152,16 @@ class SolverConfig:
     # temporary-box magnitude for the dual start (data is equilibrated to
     # O(1), so this is effectively absolute in scaled space)
     dual_box: float = 1e7
+    # Dual row-pricing weights: "dse" maintains EXACT dual-steepest-edge
+    # norms β_i = ‖B⁻¹[i,:]‖² via the Forrest–Goldfarb identity — one extra
+    # full B⁻¹ matvec (τ = B⁻¹ρᵀ) per pivot, the only remaining O(m²)
+    # matvec per iteration at XL scale.  "devex" replaces the update with
+    # the reference-weight approximation γ_i' = max(γ_i, (u_i/p)²γ_r),
+    # γ_r' = max(γ_r/p², 1) (Forrest–Goldfarb 1992 "devex" variant) which
+    # needs ONLY the FTRAN column u — no τ; the periodic refactorization's
+    # _derived_state resets γ to the exact row norms, bounding the
+    # approximation drift to one refactor period.
+    dual_pricing: str = "dse"
     # BFRT implementation: "sort" materializes the candidates in ratio order
     # (one O(n log n) argsort + gathers per iteration — TPU sorts are slow at
     # large n) or "bisect" which finds the blocking ratio t* = min{t :

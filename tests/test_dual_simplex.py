@@ -191,3 +191,33 @@ def test_dual_falls_back_on_unbounded():
         config=SolverConfig(algorithm="dual"),
     )
     assert res.kind is LinearProgramType.UNBOUNDED
+
+
+@pytest.mark.netlib
+@pytest.mark.parametrize(
+    "name,expected,tol",
+    [
+        ("AFIRO", -464.75314, 1e-3),
+        ("ADLITTLE", 2.254949632e05, 2.3e2),
+        ("SHARE1B", -7.658931857918568e4, 77.0),
+        ("DEGEN2", -1.4351780e3, 1e-1),
+    ],
+)
+def test_dual_devex_weights(name, expected, tol):
+    """config.dual_pricing="devex" (reference-weight approximation, no
+    per-pivot B⁻¹ matvec) must reach the same objectives as exact DSE —
+    both through the in-loop path and the XL external orchestration."""
+    from relp_tpu.api import solve as _solve
+    from relp_tpu.model.elements import LinearProgramType
+    from tests.conftest import reference_problem
+
+    path = reference_problem("netlib", f"{name}.SIF")
+    for extra in ({}, {"refactor_external_m": 1}):
+        res = _solve(
+            path,
+            config=SolverConfig(
+                algorithm="dual", dual_pricing="devex", **extra
+            ),
+        )
+        assert res.kind is LinearProgramType.FINITE_OPTIMUM
+        assert abs(res.solution.objective_value - expected) <= tol
