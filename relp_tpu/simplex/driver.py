@@ -321,9 +321,30 @@ def solve_computational_form(
             pi, d, beta, since, flips = s.pi, s.d, s.beta, s.since_refactor, s.flips
             status = int(s.status)
             if _log.isEnabledFor(20):
+                # running objective + primal infeasibility, reconstructed
+                # host-side from the chunk's final state (cheap: O(n+m))
+                vs_np = np.asarray(s.vstat)
+                ba_np = np.asarray(s.basis)
+                xb_np = np.asarray(s.xB)
+                lbt = np.concatenate([lb_d, np.zeros(m_pad)])
+                ubt = np.concatenate([ub_d, np.zeros(m_pad)])
+                nbv = np.where(
+                    (vs_np == st.NB_LOWER) | (vs_np == st.NB_FIXED), lbt,
+                    np.where(vs_np == st.NB_UPPER, ubt, 0.0),
+                )
+                nbv = np.where(vs_np == st.BASIC, 0.0, nbv)
+                xv = nbv[:n_pad].copy()
+                sm = ba_np < n_pad
+                xv[ba_np[sm]] = xb_np[sm]
+                lbk = lbt[ba_np]
+                ubk = ubt[ba_np]
+                pinf = float(
+                    np.maximum(np.maximum(lbk - xb_np, xb_np - ubk), 0.0).sum()
+                )
                 _log.info(
-                    "dual-xl chunk it=%d total=%d status=%d wall=%.1fs",
-                    it_here, done_here, status, t.peek(),
+                    "dual-xl chunk it=%d total=%d status=%d obj=%.9e "
+                    "pinf=%.3e wall=%.1fs",
+                    it_here, done_here, status, float(c @ xv), pinf, t.peek(),
                 )
             if status != st.RUNNING:
                 break
