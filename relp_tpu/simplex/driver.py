@@ -307,13 +307,17 @@ def solve_computational_form(
         done_here = 0
         stalled_cycles = 0
         status = st.ITERATION_LIMIT
+        import time as _time
+
         while done_here < max_iter:
             this_chunk = min(chunk, max_iter - done_here)
+            t_it = _time.perf_counter()
             s = dual_xl_iterate(
                 A, b, c, lb_d, ub_d, basis, vstat, xB, Binv, pi, d, beta,
                 since, flips, cfg=config, max_iter=this_chunk,
             )
             s = jax.block_until_ready(s)
+            t_it = _time.perf_counter() - t_it
             it_here = int(s.it)
             done_here += it_here
             total_done += it_here
@@ -354,7 +358,10 @@ def solve_computational_form(
             # polish (two m³ emulated-f64 matmuls) only once the product-
             # form drift actually crosses the SAME 1e-9 health bar, then
             # full rebuild on a bad post-polish residual
+            t_chk = _time.perf_counter()
             resid0 = dual_xl_resid(A, basis, art_sign, Binv)
+            t_chk = _time.perf_counter() - t_chk
+            t_pol = t_reb = 0.0
             if np.isfinite(float(resid0)) and float(resid0) < 1e-9:
                 if _log.isEnabledFor(20):
                     _log.info(
@@ -362,21 +369,35 @@ def solve_computational_form(
                         "polish skipped", float(resid0),
                     )
             else:
+                t_pol = _time.perf_counter()
                 X1, resid = dual_xl_polish(A, basis, art_sign, Binv)
+                t_pol = _time.perf_counter() - t_pol
                 if np.isfinite(float(resid)) and float(resid) < 1e-9:
                     Binv = X1
                 else:
                     del X1
+                    t_reb = _time.perf_counter()
                     Binv, resid2 = dual_xl_rebuild(A, basis, art_sign, cfg=config)
+                    t_reb = _time.perf_counter() - t_reb
                     if not np.isfinite(float(resid2)) or float(resid2) > 1e-6:
                         _log.warning(
                             "dual-xl: singular basis at refactorization "
                             "(resid=%s) — abandoning the dual path", float(resid2)
                         )
                         return None
+            t_der = _time.perf_counter()
             xB, pi, d, beta = dual_xl_derive(
                 A, b, c, lb_d, ub_d, basis, vstat, Binv
             )
+            jax.block_until_ready(xB)
+            t_der = _time.perf_counter() - t_der
+            if _log.isEnabledFor(10):  # DEBUG: per-call cost decomposition
+                _log.debug(
+                    "dual-xl timings: iterate=%.2fs (%.0f ms/iter) "
+                    "resid=%.2fs polish=%.2fs rebuild=%.2fs derive=%.2fs",
+                    t_it, 1e3 * t_it / max(it_here, 1), t_chk, t_pol,
+                    t_reb, t_der,
+                )
             since = jnp.int32(0)
             # numerical-stall guard: a cycle that makes no pivots and still
             # wants a refactorization cannot make progress forever

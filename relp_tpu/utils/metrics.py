@@ -19,7 +19,14 @@ from typing import Optional
 
 logger = logging.getLogger("relp_tpu")
 if os.environ.get("RELP_TPU_LOG"):
-    logging.basicConfig(level=logging.INFO, format="%(name)s %(message)s")
+    # RELP_TPU_LOG=1 → INFO (per-chunk progress); RELP_TPU_LOG=debug →
+    # DEBUG (adds per-device-call cost decomposition in the XL loop)
+    _lvl = (
+        logging.DEBUG
+        if os.environ["RELP_TPU_LOG"].lower() in ("debug", "2")
+        else logging.INFO
+    )
+    logging.basicConfig(level=_lvl, format="%(name)s %(message)s")
 
 
 @dataclass
