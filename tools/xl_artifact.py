@@ -47,11 +47,15 @@ def parse_log(path: str):
 
 
 def main(argv):
+    from bench import _highs_wall
+
+    base = "/root/reference/tests/netlib/problem_files/"
     instances = []
     ok = 0
     for spec in argv:
         name, _, path = spec.partition(":")
         obj, iters, wall = parse_log(path)
+        highs_wall, _ = _highs_wall([(name, f"{base}{name}.SIF")])
         expected, tol = LARGE_EXPECTED[name]
         solved = obj is not None and abs(obj - expected) <= tol
         ok += bool(solved)
@@ -69,6 +73,12 @@ def main(argv):
             "hbm_model_gb": round(
                 (2 * m_pad * m_pad * 8 + 3 * nnz * 8 + 8 * (panel) * 4) / 2**30, 2
             ),
+            # honest context: at this hyper-sparse tier a CPU sparse-LU
+            # dual simplex (HiGHS) is far faster — the XL tier is the
+            # CAPABILITY the reference lacks entirely (its exact solver
+            # #[ignore]s everything beyond ~2k rows), not a perf win; the
+            # perf headline is the full-suite vs_highs_wall in BENCH_r02.
+            "highs_wall_s": round(highs_wall, 3),
             "log": path,
         }
         instances.append(inst)
