@@ -47,9 +47,10 @@ def main(argv=None) -> int:
     )
     ap.add_argument(
         "--algorithm",
-        choices=["primal", "dual"],
+        choices=["primal", "dual", "pdlp"],
         default="primal",
-        help="main solve algorithm (dual = dual simplex from scratch)",
+        help="main solve algorithm (dual = dual simplex from scratch; "
+        "pdlp = first-order restarted PDHG, the scale path)",
     )
     ap.add_argument(
         "--perturb",

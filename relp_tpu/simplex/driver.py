@@ -441,6 +441,97 @@ def solve_computational_form(
             viol=np.float64(0.0),
         )
 
+    def _run_pdlp(t):
+        """Restarted PDHG (relp_tpu.fom.pdhg — the first-order scale
+        path): two SpMVs + vector ops per iteration, no inverse, no
+        factorization.  Returns a SolveOutput-shaped namespace on
+        convergence, else None (caller falls back to simplex)."""
+        import jax.numpy as jnp
+
+        from relp_tpu.fom.pdhg import (
+            _power_norm, initial_state, solve_pdhg_chunk,
+        )
+        from relp_tpu.ops.amatrix import as_amatrix
+        from relp_tpu.utils.metrics import logger as _log
+
+        nonlocal total_done
+        # Ruiz ∞-norm equilibration on top of the geometric-mean scaling
+        # (the PDLP recipe): first-order convergence is driven by A's
+        # conditioning far more than simplex is — ISRAEL-class instances
+        # stall without it.  Solve in x = D_c x', y = D_r y' space; the
+        # cf-space duals are D_r y'.
+        csc0 = sp.csc_matrix(cf.A)
+        d_r = np.ones(m_pad)
+        d_c = np.ones(n_pad)
+        S = abs(csc0).tocsr()
+        for _ in range(10):
+            rmax = np.asarray(S.max(axis=1).todense()).ravel()
+            rs = np.where(rmax > 0, 1.0 / np.sqrt(rmax), 1.0)
+            S = sp.diags(rs) @ S
+            cmax = np.asarray(S.max(axis=0).todense()).ravel()
+            cs = np.where(cmax > 0, 1.0 / np.sqrt(cmax), 1.0)
+            S = S @ sp.diags(cs)
+            d_r[: cf.m] *= rs
+            d_c[: cf.n] *= cs
+        csc_s = sp.diags(d_r[: cf.m]) @ csc0 @ sp.diags(d_c[: cf.n])
+        from types import SimpleNamespace as _NS
+
+        A_s = _device_matrix(
+            _NS(A=csc_s, m=cf.m, n=cf.n), m_pad, n_pad, config
+        )
+        b_s = b * d_r
+        c_s = c * d_c
+        with np.errstate(invalid="ignore"):
+            lb_s = np.where(np.isfinite(lb), lb / d_c, lb)
+            ub_s = np.where(np.isfinite(ub), ub / d_c, ub)
+        norm_A = float(jax.jit(_power_norm)(as_amatrix(A_s)))
+        if not np.isfinite(norm_A) or norm_A <= 0:
+            return None
+        state = initial_state(as_amatrix(A_s), lb_s, ub_s, 0.9 / norm_A)
+        budget = config.max_iter if config.max_iter > 0 else 1_000_000
+        round_len = int(config.pdlp_round)
+        # bound one device call well under the execution watchdog: rounds
+        # cost ~(2·round_len + 8) SpMVs each
+        rounds_per_call = max(1, min(256, 4_000_000 // max(m_pad + n_pad, 1)))
+        while int(state.it) < budget:
+            state = solve_pdhg_chunk(
+                A_s, b_s, c_s, lb_s, ub_s, state,
+                round_len=round_len, max_rounds=rounds_per_call,
+                tol=float(config.pdlp_tol),
+            )
+            state = jax.block_until_ready(state)
+            if _log.isEnabledFor(20):
+                _log.info(
+                    "pdlp chunk it=%d kkt=%.3e omega=%.3e obj=%.9e wall=%.1fs",
+                    int(state.it), float(state.kkt), float(state.omega),
+                    float(c @ (d_c * np.asarray(state.x))), t.peek(),
+                )
+            if int(state.status) != st.RUNNING:
+                break
+        total_done += int(state.it)
+        if int(state.status) != st.OPTIMAL:
+            return None
+        from types import SimpleNamespace
+
+        x_np = d_c * np.asarray(state.x)
+        r_prim = float(np.max(np.abs(
+            np.asarray(as_amatrix(A).matvec(jnp.asarray(x_np))) - b
+        )))
+        return SimpleNamespace(
+            x=x_np,
+            status=np.int32(st.OPTIMAL),
+            it=np.int32(int(state.it)),
+            phase=np.int32(2),
+            basis=(n_pad + np.arange(m_pad, dtype=np.int32)),
+            vstat=np.full(n_pad + m_pad, st.NB_LOWER, np.int32),
+            art_inf=np.float64(r_prim),
+            pi=d_r * np.asarray(state.y),
+            obj=np.float64(c @ x_np),
+            art_sign=np.ones(m_pad),
+            trace=np.zeros((0, 8), np.float32),
+            viol=np.float64(float(state.kkt)),
+        )
+
     def _run_dual_chunked(t):
         """Dual simplex from scratch (config.algorithm="dual"): the
         all-artificial basis is dual feasible once every nonbasic sits on
@@ -512,7 +603,15 @@ def solve_computational_form(
         # XL problems auto-route to the externally-refactorized dual: the
         # primal core's in-loop refactor branch cannot compile within HBM
         # at this scale (config.refactor_external_m)
-        want_dual = config.algorithm == "dual" or m_pad > config.refactor_external_m
+        if (
+            config.algorithm == "pdlp"
+            and warm_start_builder is None
+            and config.perturb == 0
+        ):
+            out = _run_pdlp(t)  # None ⇒ fall back to simplex below
+        want_dual = config.algorithm == "dual" or (
+            out is None and m_pad > config.refactor_external_m
+        )
         if want_dual and warm_start_builder is None and config.perturb == 0:
             out = _run_dual_chunked(t)  # None ⇒ fall back to the primal
         if (

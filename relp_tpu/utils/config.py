@@ -148,7 +148,14 @@ class SolverConfig:
     # inactive at optimality).  The dual's exact steepest-edge + BFRT
     # typically needs far fewer iterations on degenerate instances; falls
     # back to the primal on failure.
+    # "pdlp" selects the first-order restarted-PDHG engine (fom/pdhg.py):
+    # two SpMVs + vector ops per iteration, no basis inverse — the scale
+    # path for hyper-sparse XL instances where per-pivot O(m²) dense-
+    # inverse work dominates; converges to pdlp_tol relative KKT and
+    # falls back to simplex when it cannot certify optimality.
     algorithm: str = "primal"
+    pdlp_tol: float = 1e-8
+    pdlp_round: int = 256
     # temporary-box magnitude for the dual start (data is equilibrated to
     # O(1), so this is effectively absolute in scaled space)
     dual_box: float = 1e7

@@ -1,0 +1,83 @@
+"""First-order PDLP engine (relp_tpu/fom/pdhg.py): restarted adaptive
+PDHG with Ruiz rescaling must reach simplex-grade objectives on Netlib,
+and fall back to simplex cleanly when it cannot certify optimality."""
+
+import numpy as np
+import pytest
+
+import relp_tpu  # noqa: F401
+from relp_tpu.model.elements import LinearProgramType
+from relp_tpu.utils.config import SolverConfig
+from tests.conftest import reference_problem
+
+
+@pytest.mark.netlib
+@pytest.mark.parametrize(
+    "name,expected",
+    [
+        ("AFIRO", -464.753142857),
+        ("SC50B", -70.0),
+        ("ADLITTLE", 2.2549496316e5),
+        ("ISRAEL", -8.966448218e5),
+        ("SHARE1B", -7.6589318579e4),
+    ],
+)
+def test_pdlp_netlib_objectives(name, expected):
+    from relp_tpu.api import solve
+
+    res = solve(
+        reference_problem("netlib", f"{name}.SIF"),
+        config=SolverConfig(algorithm="pdlp"),
+    )
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert res.solution.objective_value == pytest.approx(
+        expected, rel=1e-6, abs=1e-5
+    )
+
+
+def test_pdlp_falls_back_on_budget():
+    """A tiny iteration budget cannot certify optimality: the driver must
+    fall back to the simplex path and still return the right answer."""
+    from relp_tpu.api import solve
+
+    res = solve(
+        reference_problem("burkardt", "afiro.mps"),
+        config=SolverConfig(algorithm="pdlp", max_iter=256),
+    )
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert res.solution.objective_value == pytest.approx(
+        -464.753142857, rel=1e-8
+    )
+
+
+def test_pdlp_duals_match_simplex():
+    """PDHG's y must agree with the simplex duals (both in ORIGINAL row
+    units) on a nondegenerate instance."""
+    from relp_tpu.api import solve
+
+    path = reference_problem("netlib", "SC50B.SIF")
+    fo = solve(path, config=SolverConfig(algorithm="pdlp"))
+    sx = solve(path, config=SolverConfig())
+    np.testing.assert_allclose(
+        fo.simplex.duals, sx.simplex.duals, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_pdhg_chunk_tiny_lp():
+    """Unit-level: min -x1-x2 s.t. x1+x2 = 1, 0 ≤ x ≤ 1 → x1+x2 = 1."""
+    import jax.numpy as jnp
+
+    from relp_tpu.fom.pdhg import (
+        _power_norm, initial_state, solve_pdhg_chunk,
+    )
+
+    A = jnp.array([[1.0, 1.0]])
+    b = jnp.array([1.0])
+    c = jnp.array([-1.0, -1.0])
+    lb = jnp.zeros(2)
+    ub = jnp.ones(2)
+    eta0 = 0.9 / float(_power_norm(A))
+    s = initial_state(A, lb, ub, eta0)
+    s = solve_pdhg_chunk(A, b, c, lb, ub, s, round_len=64, max_rounds=64)
+    assert float(jnp.abs(A @ s.x - b)[0]) < 1e-6
+    assert float(c @ s.x) == pytest.approx(-1.0, abs=1e-6)
