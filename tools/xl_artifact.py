@@ -10,7 +10,8 @@ flagship-scale results are driver-captured evidence rather than a
 markdown table.
 
 Usage: python tools/xl_artifact.py LOG [LOG...] > XL_r02.json
-Each LOG must be "NAME:path", e.g. DFL001:/tmp/dfl_dual.log.
+Each LOG is "NAME:path[:engine]" (engine defaults to dual-simplex),
+e.g. DFL001:/tmp/dfl_dual.log STOCFOR3:/tmp/s3_pdlp.log:pdlp-cpu.
 """
 
 from __future__ import annotations
@@ -53,7 +54,9 @@ def main(argv):
     instances = []
     ok = 0
     for spec in argv:
-        name, _, path = spec.partition(":")
+        parts = spec.split(":")
+        name, path = parts[0], parts[1]
+        engine = parts[2] if len(parts) > 2 else "dual-simplex"
         obj, iters, wall = parse_log(path)
         highs_wall, _ = _highs_wall([(name, f"{base}{name}.SIF")])
         expected, tol = LARGE_EXPECTED[name]
@@ -63,6 +66,7 @@ def main(argv):
         panel = min(1 << 26, m_pad * m_pad)
         inst = {
             "name": name,
+            "engine": engine,
             "objective": obj,
             "expected": expected,
             "rel_err": (abs(obj - expected) / abs(expected)) if obj else None,
@@ -70,7 +74,12 @@ def main(argv):
             "iterations": iters,
             "wall_s": wall,
             "iters_per_s": round(iters / wall, 2) if iters and wall else None,
+            # dual-simplex: 2×m² f64 (B⁻¹ + basis matrix at refactor) +
+            # ELL + one panel's f64-emulation limbs; pdlp: ELL + O(n+m)
+            # vectors only (no inverse, no emulated matmuls)
             "hbm_model_gb": round(
+                (3 * nnz * 8 + 12 * (m_pad + n_pad) * 8) / 2**30, 3
+            ) if engine.startswith("pdlp") else round(
                 (2 * m_pad * m_pad * 8 + 3 * nnz * 8 + 8 * (panel) * 4) / 2**30, 2
             ),
             # honest context: at this hyper-sparse tier a CPU sparse-LU
