@@ -609,6 +609,57 @@ def solve_computational_form(
             and config.perturb == 0
         ):
             out = _run_pdlp(t)  # None ⇒ fall back to simplex below
+            if (
+                out is not None
+                and config.pdlp_crossover
+                and m_pad <= _PRIMAL_INLOOP_MAX_M
+            ):
+                # crossover: snap near-bound variables to their bounds,
+                # basis-guess the m most interior ones, and let the primal
+                # simplex polish the first-order point to an exact vertex
+                # (typically a handful of pivots from a 1e-8-KKT point)
+                xp = np.asarray(out.x)
+                tol_l = 1e-7 * (1.0 + np.abs(lb))
+                tol_u = 1e-7 * (1.0 + np.abs(ub))
+                fixed = lb == ub
+                at_l = np.isfinite(lb) & (xp - lb <= tol_l)
+                at_u = np.isfinite(ub) & (ub - xp <= tol_u) & ~at_l
+                interior = ~(fixed | at_l | at_u)
+                depth = np.minimum(
+                    np.where(np.isfinite(lb), xp - lb, np.inf),
+                    np.where(np.isfinite(ub), ub - xp, np.inf),
+                )
+                cand = np.flatnonzero(interior)
+                cand = cand[np.argsort(-depth[cand])][:m_pad]
+                vstat0 = np.where(
+                    fixed, st.NB_FIXED,
+                    np.where(
+                        at_l, st.NB_LOWER,
+                        np.where(
+                            at_u, st.NB_UPPER,
+                            np.where(
+                                np.isfinite(lb), st.NB_LOWER,
+                                np.where(
+                                    np.isfinite(ub), st.NB_UPPER, st.NB_FREE
+                                ),
+                            ),
+                        ),
+                    ),
+                ).astype(np.int32)
+                vstat0[cand] = st.BASIC
+                art_rows = list(range(m, m_pad)) + list(range(m))
+                fill = m_pad - len(cand)
+                basis0 = np.concatenate([
+                    cand,
+                    n_pad + np.asarray(art_rows[:fill], np.int64),
+                ]).astype(np.int32)
+                warm_cross = dict(
+                    basis0=basis0,
+                    vstat0=vstat0,
+                    art_sign0=_host_art_sign(vstat0),
+                    phase0=np.int32(1),
+                )
+                out = _run_chunked(lb, ub, warm_cross, t, max_iter)
         want_dual = config.algorithm == "dual" or (
             out is None and m_pad > config.refactor_external_m
         )

@@ -156,6 +156,12 @@ class SolverConfig:
     algorithm: str = "primal"
     pdlp_tol: float = 1e-8
     pdlp_round: int = 256
+    # After PDLP certifies its KKT tolerance, warm-start the primal
+    # simplex from a basis guess at the first-order point (near-bound
+    # variables snapped nonbasic, the m most interior basic) to recover
+    # an EXACT vertex optimum — typically a handful of pivots.  Applies
+    # when the in-loop primal is available (m_pad ≤ 12288).
+    pdlp_crossover: bool = True
     # temporary-box magnitude for the dual start (data is equilibrated to
     # O(1), so this is effectively absolute in scaled space)
     dual_box: float = 1e7

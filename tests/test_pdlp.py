@@ -81,3 +81,23 @@ def test_pdhg_chunk_tiny_lp():
     s = solve_pdhg_chunk(A, b, c, lb, ub, s, round_len=64, max_rounds=64)
     assert float(jnp.abs(A @ s.x - b)[0]) < 1e-6
     assert float(c @ s.x) == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_pdlp_crossover_exact_vertex():
+    """With crossover (default) the PDLP point is polished to the exact
+    simplex optimum; without it the objective is only KKT-tol accurate."""
+    from relp_tpu.api import solve
+
+    path = reference_problem("netlib", "ISRAEL.SIF")
+    res = solve(path, config=SolverConfig(algorithm="pdlp"))
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert res.solution.objective_value == pytest.approx(
+        -8.9664482186e5, rel=1e-9
+    )
+    raw = solve(
+        path, config=SolverConfig(algorithm="pdlp", pdlp_crossover=False)
+    )
+    assert raw.kind is LinearProgramType.FINITE_OPTIMUM
+    assert raw.solution.objective_value == pytest.approx(
+        -8.9664482186e5, rel=1e-6
+    )
