@@ -9,6 +9,7 @@ the reference's compile-time type-parameter specialization).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict, Optional
 
@@ -491,8 +492,18 @@ def solve_computational_form(
         budget = config.max_iter if config.max_iter > 0 else 1_000_000
         round_len = int(config.pdlp_round)
         # bound one device call well under the execution watchdog: rounds
-        # cost ~(2·round_len + 8) SpMVs each
-        rounds_per_call = max(1, min(256, 4_000_000 // max(m_pad + n_pad, 1)))
+        # cost ~(2·round_len + 8) SpMVs each.  On the TPU a single device
+        # execution is killed beyond ~60-90 s (CLAUDE.md watchdog), so cap
+        # the per-call round count much lower there; the extra host
+        # dispatches are ~ms each.  RELP_TPU_PDLP_CHUNK_ROUNDS overrides
+        # (used to probe the device iteration rate safely).
+        rounds_cap = 32 if jax.default_backend() != "cpu" else 256
+        env_rounds = os.environ.get("RELP_TPU_PDLP_CHUNK_ROUNDS")
+        if env_rounds:
+            rounds_cap = max(1, int(env_rounds))
+        rounds_per_call = max(
+            1, min(rounds_cap, 4_000_000 // max(m_pad + n_pad, 1))
+        )
         while int(state.it) < budget:
             state = solve_pdhg_chunk(
                 A_s, b_s, c_s, lb_s, ub_s, state,
