@@ -73,7 +73,7 @@ def main(argv=None) -> int:
     )
     ap.add_argument(
         "--matrix-format",
-        choices=["auto", "dense", "ell"],
+        choices=["auto", "dense", "ell", "hybrid"],
         default="auto",
         help="device layout of A (auto picks by size/sparsity)",
     )

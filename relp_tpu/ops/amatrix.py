@@ -202,9 +202,112 @@ class EllMatrix:
         )
 
 
+@jax.tree_util.register_pytree_node_class
+class HybridMatrix:
+    """ELL for the sparse columns + a small dense block for "spill" columns
+    whose fill would blow up the ELL pad (e.g. FIT2P's three full columns,
+    kmax = m: pure ELL would pad EVERY column to K ≈ m).
+
+    ``ell`` holds all non-spill columns (spill columns are all-zero there);
+    ``D`` is the (m_pad, d_pad) dense block of spill columns in slot order;
+    ``spill_idx[d_pad]`` maps slot → column index (padded slots have a zero
+    dense column, so their scatter contributions are 0 regardless of the
+    padded index value); ``spill_pos[n_pad]`` maps column → slot or -1.
+
+    Cost model: every op is the ELL cost plus an O(m·d) dense term (d ≪ n),
+    except :meth:`ftran`, which adds one O(m²) maintained-inverse matvec —
+    the same order as the engine's per-pivot rank-1 update, so the constant
+    factor is bounded.  Reference frame: rust-lp stores such columns as
+    plain sparse vectors and pays O(nnz) on the CPU
+    (src/data/linear_algebra/matrix.rs:23-77); on the TPU the dense block
+    keeps the gather shapes static and the MXU busy instead.
+    """
+
+    def __init__(self, ell: EllMatrix, D, spill_idx, spill_pos, D32=None):
+        self.ell = ell
+        self.D = D
+        self.spill_idx = spill_idx
+        self.spill_pos = spill_pos
+        self.D32 = D32
+
+    def tree_flatten(self):
+        return (self.ell, self.D, self.spill_idx, self.spill_pos, self.D32), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return self.ell.shape
+
+    @property
+    def dtype(self):
+        return self.ell.dtype
+
+    def with_f32(self) -> "HybridMatrix":
+        if self.D32 is not None and self.ell.data32 is not None:
+            return self
+        return HybridMatrix(
+            self.ell.with_f32(), self.D, self.spill_idx, self.spill_pos,
+            self.D.astype(jnp.float32),
+        )
+
+    def _spill_col(self, q):
+        """Dense part of column q (zeros when q is not a spill column)."""
+        pos = jnp.take(self.spill_pos, q)
+        col = jnp.take(self.D, jnp.maximum(pos, 0), axis=1)
+        return jnp.where(pos >= 0, col, 0.0)
+
+    # -- operator interface --------------------------------------------------
+
+    def matvec(self, x):
+        return self.ell.matvec(x) + self.D @ jnp.take(x, self.spill_idx)
+
+    def rmatvec(self, pi):
+        r = self.ell.rmatvec(pi)
+        return r.at[self.spill_idx].add(pi @ self.D)
+
+    def rmatvec32(self, v32):
+        r = self.ell.rmatvec32(v32)
+        return r.at[self.spill_idx].add(v32 @ self.D32)
+
+    def rmatvec32_block(self, v32, bstart, bsize: int):
+        r = self.ell.rmatvec32_block(v32, bstart, bsize)
+        vals = v32 @ self.D32
+        p = self.spill_idx - bstart
+        ok = (p >= 0) & (p < bsize)
+        return r.at[jnp.clip(p, 0, bsize - 1)].add(jnp.where(ok, vals, 0.0))
+
+    def col(self, q):
+        return self.ell.col(q) + self._spill_col(q)
+
+    def ftran(self, Binv, q):
+        from relp_tpu.ops.linalg import panel_matvec
+
+        return self.ell.ftran(Binv, q) + panel_matvec(
+            Binv, self._spill_col(q)
+        )
+
+    def col_dot(self, pi, q):
+        return self.ell.col_dot(pi, q) + pi @ self._spill_col(q)
+
+    def entries(self, rows_i, cols_j):
+        base = self.ell.entries(rows_i, cols_j)
+        pos = jnp.take(self.spill_pos, cols_j)
+        dvals = self.D[rows_i, jnp.maximum(pos, 0)]
+        return base + jnp.where(pos >= 0, dvals, 0.0)
+
+    def cols_matrix(self, idx):
+        base = self.ell.cols_matrix(idx)
+        pos = jnp.take(self.spill_pos, idx)
+        dcols = jnp.take(self.D, jnp.maximum(pos, 0), axis=1)
+        return base + jnp.where(pos >= 0, dcols, 0.0)
+
+
 def as_amatrix(A):
     """Wrap a raw array as :class:`DenseMatrix`; pass matrices through."""
-    if isinstance(A, (DenseMatrix, EllMatrix)):
+    if isinstance(A, (DenseMatrix, EllMatrix, HybridMatrix)):
         return A
     return DenseMatrix(A)
 
@@ -233,3 +336,36 @@ def ell_from_csc(
         data[col_of, pos] = csc.data
         rows[col_of, pos] = csc.indices
     return EllMatrix(data, rows, m_pad)
+
+
+def hybrid_from_csc(
+    csc, m_pad: int, n_pad: int, k_pad: int, d_pad: int
+) -> HybridMatrix:
+    """Build a :class:`HybridMatrix`: columns with more than ``k_pad``
+    nonzeros become dense spill columns (at most ``d_pad`` of them, padded
+    with zero columns); the rest go to ELL with per-column pad ``k_pad``."""
+    import scipy.sparse as sp
+
+    m, n = csc.shape
+    counts = np.diff(csc.indptr)
+    spill = np.flatnonzero(counts > k_pad)
+    assert spill.size <= d_pad, (
+        f"{spill.size} spill columns exceed d_pad={d_pad}"
+    )
+    csc_sparse = csc.copy()
+    if spill.size:
+        # zero out the spill columns in the ELL part
+        keep = np.ones(n, bool)
+        keep[spill] = False
+        mask = sp.diags(keep.astype(csc.dtype))
+        csc_sparse = (csc @ mask).tocsc()
+        csc_sparse.eliminate_zeros()
+    ell = ell_from_csc(csc_sparse, m_pad, n_pad, k_pad)
+    D = np.zeros((m_pad, d_pad), dtype=np.float64)
+    for s, j in enumerate(spill):
+        D[:m, s] = csc[:, [j]].toarray().ravel()
+    spill_idx = np.zeros(d_pad, dtype=np.int32)
+    spill_idx[: spill.size] = spill
+    spill_pos = np.full(n_pad, -1, dtype=np.int32)
+    spill_pos[spill] = np.arange(spill.size, dtype=np.int32)
+    return HybridMatrix(ell, D, spill_idx, spill_pos)

@@ -25,13 +25,29 @@ from relp_tpu.utils.config import SolverConfig
 def shard_inputs(mesh: Mesh, A, b, c, lb, ub):
     """Place the problem arrays: A/c/lb/ub column-sharded, b replicated.
 
-    ``A`` may be a raw dense array (columns = axis 1) or an
+    ``A`` may be a raw dense array (columns = axis 1), an
     :class:`~relp_tpu.ops.amatrix.EllMatrix` (columns = axis 0 of its
-    data/rows leaves — each device holds its column block's nonzeros)."""
-    from relp_tpu.ops.amatrix import EllMatrix
+    data/rows leaves — each device holds its column block's nonzeros), or a
+    :class:`~relp_tpu.ops.amatrix.HybridMatrix` (ELL part column-sharded;
+    the small dense spill block and its index maps replicated)."""
+    from relp_tpu.ops.amatrix import EllMatrix, HybridMatrix
 
     vec_sharding = NamedSharding(mesh, P("cols"))
     rep = NamedSharding(mesh, P())
+    if isinstance(A, HybridMatrix):
+        ell = shard_inputs(mesh, A.ell, b, c, lb, ub)[0]
+        A = HybridMatrix(
+            ell,
+            jax.device_put(np.asarray(A.D), rep),
+            jax.device_put(np.asarray(A.spill_idx), rep),
+            jax.device_put(np.asarray(A.spill_pos), vec_sharding),
+            None if A.D32 is None else jax.device_put(np.asarray(A.D32), rep),
+        )
+        b = jax.device_put(np.asarray(b, np.float64), rep)
+        c = jax.device_put(np.asarray(c, np.float64), vec_sharding)
+        lb = jax.device_put(np.asarray(lb, np.float64), vec_sharding)
+        ub = jax.device_put(np.asarray(ub, np.float64), vec_sharding)
+        return A, b, c, lb, ub
     if isinstance(A, EllMatrix):
         ell_sharding = NamedSharding(mesh, P("cols", None))
         A = EllMatrix(

@@ -90,14 +90,37 @@ def _device_matrix(cf: ComputationalForm, m_pad: int, n_pad: int, config: Solver
     arithmetic loses to one big MXU matvec) and the problem is large enough
     that per-iteration dense FLOPs dominate dispatch overhead.
     """
-    from relp_tpu.ops.amatrix import ell_from_csc
+    from relp_tpu.ops.amatrix import ell_from_csc, hybrid_from_csc
 
     csc = sp.csc_matrix(cf.A)
     fmt = config.matrix_format
     counts = np.diff(csc.indptr)
     k_true = int(counts.max()) if counts.size else 1
+    # columns whose fill would blow up the ELL pad (FIT2P: three full
+    # columns, kmax = m) spill into a small dense block instead
+    spill_thresh = max(64, m_pad // 32)
+    n_spill = int((counts > spill_thresh).sum()) if counts.size else 0
     if fmt == "auto":
-        fmt = "ell" if (m_pad >= 1024 and k_true * 8 <= m_pad) else "dense"
+        if jax.default_backend() == "cpu":
+            fmt = "ell" if (m_pad >= 1024 and k_true * 8 <= m_pad) else "dense"
+        else:
+            # 2026-08-17: the TPU remote compile helper SIGABRTs (XLA
+            # HloReplicationAnalysis check failure) on every dense-A core
+            # program, including ones it compiled earlier the same day;
+            # ELL programs compile fine.  Until the helper recovers, auto
+            # never picks dense on accelerators — dense stays available
+            # via config.matrix_format="dense".
+            fmt = "ell"
+    if fmt == "ell" and 0 < n_spill <= 64:
+        fmt = "hybrid"
+    if fmt == "hybrid":
+        k_sparse = (
+            int(counts[counts <= spill_thresh].max())
+            if (counts <= spill_thresh).any() else 1
+        )
+        k_pad = _bucket(max(k_sparse, 1), 8)
+        d_pad = _bucket(max(n_spill, 1), 8)
+        return hybrid_from_csc(csc, m_pad, n_pad, k_pad, d_pad)
     if fmt == "ell":
         k_pad = _bucket(max(k_true, 1), 8)
         return ell_from_csc(csc, m_pad, n_pad, k_pad)
@@ -728,7 +751,8 @@ def solve_computational_form(
         phase=int(out.phase),
         nnz=int(sp.csc_matrix(cf.A).nnz),
         matrix_format=(
-            "ell" if hasattr(A, "m") else "dense"
+            type(A).__name__.replace("Matrix", "").lower()
+            if hasattr(A, "matvec") else "dense"
         ),
     )
     trace_arr = np.concatenate(traces) if traces else None

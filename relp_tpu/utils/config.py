@@ -137,8 +137,10 @@ class SolverConfig:
     # for small/dense pools where fused MXU matvecs win), "ell" (column-major
     # ELL sparse — O(nnz) gather pricing/FTRAN, unlocks DFL001/STOCFOR3-class
     # sizes where O(m·n) dense work and HBM are prohibitive; the TPU analogue
-    # of the reference's sparse L1, matrix.rs:23-77), or "auto" (by size and
-    # per-column fill).
+    # of the reference's sparse L1, matrix.rs:23-77), "hybrid" (ELL plus a
+    # small dense block for high-fill spill columns — FIT2P-class instances
+    # with a few full columns), or "auto" (by size and per-column fill;
+    # picks hybrid itself when spill columns exist).
     matrix_format: str = "auto"
 
     # Main algorithm: "primal" (two-phase primal simplex) or "dual" (dual

@@ -107,3 +107,79 @@ def test_ell_end_to_end_netlib(name, expected, tol):
     res = solve(reference_problem("netlib", f"{name}.SIF"), config=cfg)
     assert res.kind is LinearProgramType.FINITE_OPTIMUM
     assert res.solution.objective_value == pytest.approx(expected, abs=tol)
+
+
+def test_hybrid_ops_match_dense():
+    """HybridMatrix (ELL + dense spill block) must agree with the dense
+    ground truth on the whole operator interface, including columns that
+    live in the spill block (FIT2P-class full columns)."""
+    from relp_tpu.ops.amatrix import hybrid_from_csc
+
+    m, n = 24, 15
+    csc = _random_sparse(m, n, 0.15, 3).tolil()
+    csc[:, 4] = np.arange(1.0, m + 1.0).reshape(-1, 1)  # full column
+    csc[:, 11] = 2.0  # another dense column
+    csc = csc.tocsc()
+    m_pad, n_pad = m + 8, n + 9
+    counts = np.diff(csc.indptr)
+    k_pad = int(counts[[j for j in range(n) if j not in (4, 11)]].max())
+    hyb = hybrid_from_csc(csc, m_pad, n_pad, k_pad=k_pad, d_pad=8).with_f32()
+    Ad = np.zeros((m_pad, n_pad))
+    Ad[:m, :n] = csc.toarray()
+    dense = DenseMatrix(jnp.asarray(Ad)).with_f32()
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(n_pad)
+    pi = rng.standard_normal(m_pad)
+    Binv = rng.standard_normal((m_pad, m_pad))
+
+    assert hyb.shape == dense.shape == (m_pad, n_pad)
+    np.testing.assert_allclose(hyb.matvec(x), dense.matvec(x), atol=1e-12)
+    np.testing.assert_allclose(hyb.rmatvec(pi), dense.rmatvec(pi), atol=1e-12)
+    np.testing.assert_allclose(
+        hyb.rmatvec32(pi.astype(np.float32)),
+        dense.rmatvec32(pi.astype(np.float32)),
+        rtol=2e-5, atol=2e-5,
+    )
+    for bstart, bsize in [(0, 8), (4, 8), (8, n_pad - 8)]:
+        np.testing.assert_allclose(
+            hyb.rmatvec32_block(pi.astype(np.float32), bstart, bsize),
+            dense.rmatvec32_block(pi.astype(np.float32), bstart, bsize),
+            rtol=2e-5, atol=2e-5,
+        )
+    for q in [0, 4, 11, n - 1, n_pad - 1]:
+        np.testing.assert_allclose(hyb.col(q), dense.col(q), atol=1e-12)
+        np.testing.assert_allclose(
+            hyb.ftran(Binv, q), dense.ftran(Binv, q), atol=1e-10
+        )
+        np.testing.assert_allclose(
+            float(hyb.col_dot(pi, q)), float(dense.col_dot(pi, q)), atol=1e-10
+        )
+    rows_i = np.array([0, 5, m - 1, 2], np.int32)
+    cols_j = np.array([4, 11, 0, n - 1], np.int32)
+    np.testing.assert_allclose(
+        hyb.entries(rows_i, cols_j), dense.entries(rows_i, cols_j), atol=1e-12
+    )
+    idx = np.array([4, 0, 11, n_pad - 1], np.int32)
+    np.testing.assert_allclose(
+        hyb.cols_matrix(idx), dense.cols_matrix(idx), atol=1e-12
+    )
+
+
+def test_hybrid_spill_overflow_rejected():
+    from relp_tpu.ops.amatrix import hybrid_from_csc
+
+    csc = sp.csc_matrix(np.ones((6, 4)))
+    with pytest.raises(AssertionError):
+        hybrid_from_csc(csc, 8, 8, k_pad=2, d_pad=2)
+
+
+@pytest.mark.netlib
+def test_hybrid_end_to_end_netlib():
+    """Whole engine on the hybrid path: FIT1P has the same full-column
+    structure as FIT2P (reference tests/netlib/test.rs fit1p)."""
+    cfg = SolverConfig(matrix_format="hybrid")
+    res = solve(reference_problem("netlib", "FIT1P.SIF"), config=cfg)
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert res.solution.objective_value == pytest.approx(9.1463780924e3, abs=1e-2)
+    assert res.simplex.metrics.matrix_format == "hybrid"
