@@ -50,8 +50,13 @@ SUITE_LARGE = [
 # the scale tier the round-1 dense engine could not represent at all
 # (VERDICT r01 missing #1): sparse ELL device matrix + block product-form
 # inverse.  Expected objectives: Koch "The final Netlib-LP results",
-# cross-checked against HiGHS on this host (2026-08-17).
-SUITE_XL = ["DFL001", "STOCFOR3"]
+# cross-checked against HiGHS on this host (2026-08-17).  The Kennington
+# instances (KEN/PDS/CRE — up to 14.7k x 21.3k) are the first-order
+# engine's tier: bench them with --algorithm pdlp.
+SUITE_XL = [
+    "KEN-07", "PDS-02", "CRE-A", "CRE-C", "PDS-06", "KEN-11",
+    "DFL001", "STOCFOR3",
+]
 LARGE_EXPECTED = {
     "SCORPION": (1.8781248227381066e3, 1e-2),
     "25FV47": (5.5018459e03, 5.5018459e03 * 1e-5),
@@ -63,6 +68,14 @@ LARGE_EXPECTED = {
     "PILOT87": (3.0171034733e2, 3.0171034733e2 * 1e-4),
     "DFL001": (1.1266396047e7, 1.1266396047e7 * 1e-5),
     "STOCFOR3": (-3.9976783944e4, 3.9976783944e4 * 1e-5),
+    # Kennington tier — HiGHS on this host (2026-08-17); KEN-11/PDS-02
+    # agree with Koch to all published digits.
+    "KEN-07": (-6.795204434e8, 6.795204434e8 * 1e-5),
+    "KEN-11": (-6.972382263e9, 6.972382263e9 * 1e-5),
+    "PDS-02": (2.8857862010e10, 2.8857862010e10 * 1e-5),
+    "PDS-06": (2.7761037600e10, 2.7761037600e10 * 1e-5),
+    "CRE-A": (2.3595407061e7, 2.3595407061e7 * 1e-5),
+    "CRE-C": (2.5275116141e7, 2.5275116141e7 * 1e-5),
 }
 
 # round-1 calibration: the first working engine solved the 19-instance full
@@ -84,7 +97,10 @@ def _flops_for(metrics, config) -> float:
     with the eta backend the O(m²) inverse fold amortizes over eta_block
     pivots (plus O(m·T) per-pivot eta work, folded into the constant)."""
     m, n, it = metrics.m_padded, metrics.n_padded, metrics.iterations
-    if metrics.matrix_format == "ell" and metrics.nnz:
+    if config.algorithm == "pdlp" and metrics.pivots == 0:
+        # PDHG: two SpMVs + O(m+n) vector work per iteration, no inverse
+        return float(it) * (4.0 * (metrics.nnz or m * n) + 10.0 * (m + n))
+    if metrics.matrix_format in ("ell", "hybrid") and metrics.nnz:
         pricing = 4.0 * metrics.nnz
     else:
         pricing = 4.0 * m * n
@@ -92,11 +108,17 @@ def _flops_for(metrics, config) -> float:
     return float(it) * (pricing + 4.0 * m * m / inv_div)
 
 
-def _hbm_bytes(metrics) -> int:
+def _hbm_bytes(metrics, config=None) -> int:
     """Estimated resident device bytes for the problem's arrays."""
     m, n = metrics.m_padded, metrics.n_padded
-    binv = 8 * m * m
-    if metrics.matrix_format == "ell" and metrics.nnz:
+    # PDHG holds no basis inverse — just A and O(m+n) vectors
+    pdlp = (
+        config is not None
+        and config.algorithm == "pdlp"
+        and metrics.pivots == 0
+    )
+    binv = 0 if pdlp else 8 * m * m
+    if metrics.matrix_format in ("ell", "hybrid") and metrics.nnz:
         # padded ELL: f64 data + i32 rows + f32 shadow, K·n slots ≥ nnz
         a_bytes = metrics.nnz * 16 * 2  # generous ×2 for K padding
     else:
@@ -142,6 +164,11 @@ def main(argv=None) -> int:
         "--inverse", choices=["dense", "eta"], default=None,
         help="override the inverse backend (xl defaults to eta)",
     )
+    ap.add_argument(
+        "--algorithm", choices=["primal", "dual", "pdlp"], default=None,
+        help="solver engine (xl defaults to pdlp — the first-order scale "
+             "path; crossover disabled in-bench to keep one engine timed)",
+    )
     ap.add_argument("--quick", action="store_true", help="3 instances only")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument(
@@ -170,7 +197,12 @@ def main(argv=None) -> int:
     if args.quick:
         names = names[:3]
     inverse = args.inverse or ("eta" if args.suite == "xl" else "dense")
-    config = SolverConfig(inverse=inverse)
+    algorithm = args.algorithm or ("pdlp" if args.suite == "xl" else "primal")
+    config = SolverConfig(
+        inverse=inverse,
+        algorithm=algorithm,
+        pdlp_crossover=False if algorithm == "pdlp" else True,
+    )
     base = "/root/reference/tests/netlib/problem_files"
     paths = [(n, f"{base}/{n}.SIF") for n in names]
 
@@ -218,7 +250,7 @@ def main(argv=None) -> int:
         }
         if res.simplex and res.simplex.metrics:
             entry["matrix_format"] = res.simplex.metrics.matrix_format
-            entry["hbm_bytes_est"] = _hbm_bytes(res.simplex.metrics)
+            entry["hbm_bytes_est"] = _hbm_bytes(res.simplex.metrics, config)
         exp = LARGE_EXPECTED.get(name)
         if exp is not None and obj is not None:
             entry["objective_ok"] = bool(abs(obj - exp[0]) <= exp[1])

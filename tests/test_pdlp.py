@@ -101,3 +101,45 @@ def test_pdlp_crossover_exact_vertex():
     assert raw.solution.objective_value == pytest.approx(
         -8.9664482186e5, rel=1e-6
     )
+
+
+# Kennington tier (KEN/PDS/CRE — the reference cannot represent this scale
+# at all; its exact solver #[ignore]s everything beyond ~2k rows).
+# Expected objectives: HiGHS on this host (2026-08-17); KEN-11/PDS-02 agree
+# with Koch "The final Netlib-LP results" to all published digits.
+@pytest.mark.netlib
+def test_pdlp_ken07():
+    from relp_tpu.api import solve
+
+    res = solve(
+        reference_problem("netlib", "KEN-07.SIF"),
+        config=SolverConfig(algorithm="pdlp", pdlp_crossover=False),
+    )
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert res.solution.objective_value == pytest.approx(
+        -6.795204434e8, rel=1e-6
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name,expected",
+    [
+        ("KEN-11", -6.972382263e9),
+        ("PDS-02", 2.8857862010e10),
+        ("PDS-06", 2.7761037600e10),
+        ("CRE-A", 2.3595407061e7),
+        ("CRE-C", 2.5275116141e7),
+    ],
+)
+def test_pdlp_kennington(name, expected):
+    from relp_tpu.api import solve
+
+    res = solve(
+        reference_problem("netlib", f"{name}.SIF"),
+        config=SolverConfig(
+            algorithm="pdlp", pdlp_crossover=False, max_iter=2_000_000
+        ),
+    )
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert res.solution.objective_value == pytest.approx(expected, rel=1e-5)

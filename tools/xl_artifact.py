@@ -36,6 +36,7 @@ SHAPES = {  # name -> (m_pad, n_pad, nnz)
 
 def parse_log(path: str):
     obj = wall = iters = None
+    shape = None
     with open(path) as fh:
         for line in fh:
             m = re.match(r"^objective\s+(-?[\d.eE+]+)", line)
@@ -44,7 +45,16 @@ def parse_log(path: str):
             m = re.match(r"^iterations\s+(\d+)\s+wall_s\s+([\d.]+)", line)
             if m:
                 iters, wall = int(m.group(1)), float(m.group(2))
-    return obj, iters, wall
+            # the CLI's RELP_TPU_LOG solve line carries the true padded
+            # shapes and nnz — prefer those over the static SHAPES table
+            m = re.search(r"relp_tpu solve (\{.*\})", line)
+            if m:
+                try:
+                    d = json.loads(m.group(1))
+                    shape = (d["m_padded"], d["n_padded"], d["nnz"])
+                except (ValueError, KeyError):
+                    pass
+    return obj, iters, wall, shape
 
 
 def main(argv):
@@ -57,12 +67,12 @@ def main(argv):
         parts = spec.split(":")
         name, path = parts[0], parts[1]
         engine = parts[2] if len(parts) > 2 else "dual-simplex"
-        obj, iters, wall = parse_log(path)
+        obj, iters, wall, shape = parse_log(path)
         highs_wall, _ = _highs_wall([(name, f"{base}{name}.SIF")])
         expected, tol = LARGE_EXPECTED[name]
         solved = obj is not None and abs(obj - expected) <= tol
         ok += bool(solved)
-        m_pad, n_pad, nnz = SHAPES.get(name, (0, 0, 0))
+        m_pad, n_pad, nnz = shape or SHAPES.get(name, (0, 0, 0))
         panel = min(1 << 26, m_pad * m_pad)
         inst = {
             "name": name,
