@@ -53,6 +53,12 @@ def main(argv=None) -> int:
         "pdlp = first-order restarted PDHG, the scale path)",
     )
     ap.add_argument(
+        "--no-crossover",
+        action="store_true",
+        help="with --algorithm pdlp: return the first-order point as-is "
+        "instead of polishing it to an exact simplex vertex",
+    )
+    ap.add_argument(
         "--perturb",
         type=float,
         default=0.0,
@@ -103,6 +109,7 @@ def main(argv=None) -> int:
         perturb=args.perturb,
         algorithm=args.algorithm,
         dual_pricing=args.dual_pricing,
+        pdlp_crossover=not args.no_crossover,
     )
 
     t0 = time.perf_counter()
