@@ -57,6 +57,10 @@ def shard_inputs(mesh: Mesh, A, b, c, lb, ub):
             None
             if A.data32 is None
             else jax.device_put(np.asarray(A.data32), ell_sharding),
+            # row-major twin: replicated (m x Kr ~ nnz, small); the x
+            # gather then all-gathers the column-sharded operand
+            None if A.rdata is None else jax.device_put(np.asarray(A.rdata), rep),
+            None if A.rcols is None else jax.device_put(np.asarray(A.rcols), rep),
         )
     else:
         col_sharding = NamedSharding(mesh, P(None, "cols"))

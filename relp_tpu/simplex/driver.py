@@ -123,7 +123,9 @@ def _device_matrix(cf: ComputationalForm, m_pad: int, n_pad: int, config: Solver
         return hybrid_from_csc(csc, m_pad, n_pad, k_pad, d_pad)
     if fmt == "ell":
         k_pad = _bucket(max(k_true, 1), 8)
-        return ell_from_csc(csc, m_pad, n_pad, k_pad)
+        rcounts = np.diff(csc.tocsr().indptr)
+        kr_pad = _bucket(max(int(rcounts.max()) if rcounts.size else 1, 1), 8)
+        return ell_from_csc(csc, m_pad, n_pad, k_pad, kr_pad=kr_pad)
     A = np.zeros((m_pad, n_pad), dtype=np.float64)
     A[: cf.m, : cf.n] = csc.toarray()
     return A
