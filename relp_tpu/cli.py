@@ -59,6 +59,13 @@ def main(argv=None) -> int:
         "instead of polishing it to an exact simplex vertex",
     )
     ap.add_argument(
+        "--pdlp-matrix",
+        choices=["auto", "ell", "bricks"],
+        default="auto",
+        help="PDHG device matrix layout (bricks = (8,128) tiles + RCM, "
+        "the TPU-fast SpMV; auto = bricks on accelerators, ELL on CPU)",
+    )
+    ap.add_argument(
         "--perturb",
         type=float,
         default=0.0,
@@ -110,6 +117,7 @@ def main(argv=None) -> int:
         algorithm=args.algorithm,
         dual_pricing=args.dual_pricing,
         pdlp_crossover=not args.no_crossover,
+        pdlp_matrix=args.pdlp_matrix,
     )
 
     t0 = time.perf_counter()

@@ -39,6 +39,21 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
+
+
+def _pin(x):
+    """Materialize a gather/scatter operand before the gather consumes it.
+
+    XLA fuses a gather with its operand's producer and then recomputes the
+    producer chain PER GATHERED ELEMENT: on DFL001's PDHG step the A·x
+    gather (m_pad·Kr ≈ 1.6M reads) fused with the freshly computed x
+    (itself a K-wide gather per element) ran at 26 ms/step while the same
+    gather from a materialized x ran at 61 µs (tools/probe_step_bisect.py,
+    430× cliff).  ``optimization_barrier`` is opaque to producer fusion;
+    when the operand is already materialized (a loop carry) it costs
+    nothing."""
+    return lax.optimization_barrier(x)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -163,20 +178,22 @@ class EllMatrix:
     # -- operator interface --------------------------------------------------
 
     def matvec(self, x):
+        x = _pin(x)
         if self.rdata is not None:
             return jnp.sum(self.rdata * jnp.take(x, self.rcols), axis=1)
         contrib = self.data * x[:, None]
         return jnp.zeros(self.m, self.dtype).at[self.rows].add(contrib)
 
     def rmatvec(self, pi):
+        pi = _pin(pi)
         return jnp.sum(jnp.take(pi, self.rows) * self.data, axis=1)
 
     def rmatvec32(self, v32):
+        v32 = _pin(v32)
         return jnp.sum(jnp.take(v32, self.rows) * self.data32, axis=1)
 
     def rmatvec32_block(self, v32, bstart, bsize: int):
-        import jax.lax as lax
-
+        v32 = _pin(v32)
         K = self.rows.shape[1]
         rows_b = lax.dynamic_slice(self.rows, (bstart, 0), (bsize, K))
         data_b = lax.dynamic_slice(self.data32, (bstart, 0), (bsize, K))
@@ -320,8 +337,9 @@ class HybridMatrix:
 
 
 def as_amatrix(A):
-    """Wrap a raw array as :class:`DenseMatrix`; pass matrices through."""
-    if isinstance(A, (DenseMatrix, EllMatrix, HybridMatrix)):
+    """Wrap a raw array as :class:`DenseMatrix`; pass operator classes
+    (these, or ops/bricks.BrickMatrix) through by duck type."""
+    if hasattr(A, "matvec"):
         return A
     return DenseMatrix(A)
 

@@ -502,14 +502,49 @@ def solve_computational_form(
         csc_s = sp.diags(d_r[: cf.m]) @ csc0 @ sp.diags(d_c[: cf.n])
         from types import SimpleNamespace as _NS
 
-        A_s = _device_matrix(
-            _NS(A=csc_s, m=cf.m, n=cf.n), m_pad, n_pad, config
-        )
         b_s = b * d_r
         c_s = c * d_c
         with np.errstate(invalid="ignore"):
             lb_s = np.where(np.isfinite(lb), lb / d_c, lb)
             ub_s = np.where(np.isfinite(ub), ub / d_c, ub)
+        # device layout: bricks on accelerators (TPU element gathers are
+        # serial — ops/bricks.py docstring), ELL on CPU.  Bricks want the
+        # nonzeros clustered, so solve in RCM-permuted space and
+        # un-permute the returned point.
+        fmt = config.pdlp_matrix
+        if fmt == "auto":
+            fmt = "ell" if jax.default_backend() == "cpu" else "bricks"
+        # the brick solve runs in its own (128-multiple) padded, RCM-
+        # permuted space; mp/np_ and the pad-extended perms map back
+        mp, np_ = m_pad, n_pad
+        rpad = np.arange(m_pad)
+        cpad = np.arange(n_pad)
+        if fmt == "bricks":
+            from relp_tpu.ops.bricks import bandwidth_perm, bricks_from_csc
+
+            mp = max(_round_up(m_pad, 128), 128)
+            np_ = max(_round_up(n_pad, 128), 128)
+            rp, cp = bandwidth_perm(csc_s.tocsc())
+            rpad = np.concatenate([rp, np.arange(cf.m, mp)])
+            cpad = np.concatenate([cp, np.arange(cf.n, np_)])
+            coo_p = csc_s.tocsc()[rp][:, cp].tocoo()
+            csc_pad = sp.csc_matrix(
+                (coo_p.data, (coo_p.row, coo_p.col)), shape=(mp, np_)
+            )
+            A_s = bricks_from_csc(
+                csc_pad, mp, np_, bucket=lambda x: _bucket(x, 8)
+            )
+            ext = lambda a, k, fill: np.concatenate(  # noqa: E731
+                [a, np.full(k - len(a), fill)]
+            )
+            b_s = ext(b_s, mp, 0.0)[rpad]
+            c_s = ext(c_s, np_, 0.0)[cpad]
+            lb_s = ext(lb_s, np_, 0.0)[cpad]
+            ub_s = ext(ub_s, np_, 0.0)[cpad]
+        else:
+            A_s = _device_matrix(
+                _NS(A=csc_s, m=cf.m, n=cf.n), m_pad, n_pad, config
+            )
         norm_A = float(jax.jit(_power_norm)(as_amatrix(A_s)))
         if not np.isfinite(norm_A) or norm_A <= 0:
             return None
@@ -540,7 +575,7 @@ def solve_computational_form(
                 _log.info(
                     "pdlp chunk it=%d kkt=%.3e omega=%.3e obj=%.9e wall=%.1fs",
                     int(state.it), float(state.kkt), float(state.omega),
-                    float(c @ (d_c * np.asarray(state.x))), t.peek(),
+                    float(c_s @ np.asarray(state.x)), t.peek(),
                 )
             if int(state.status) != st.RUNNING:
                 break
@@ -549,7 +584,12 @@ def solve_computational_form(
             return None
         from types import SimpleNamespace
 
-        x_np = d_c * np.asarray(state.x)
+        x_s = np.empty(np_)
+        x_s[cpad] = np.asarray(state.x)
+        y_s = np.empty(mp)
+        y_s[rpad] = np.asarray(state.y)
+        x_np = d_c * x_s[:n_pad]
+        y_s = y_s[:m_pad]
         r_prim = float(np.max(np.abs(
             np.asarray(as_amatrix(A).matvec(jnp.asarray(x_np))) - b
         )))
@@ -561,7 +601,7 @@ def solve_computational_form(
             basis=(n_pad + np.arange(m_pad, dtype=np.int32)),
             vstat=np.full(n_pad + m_pad, st.NB_LOWER, np.int32),
             art_inf=np.float64(r_prim),
-            pi=d_r * np.asarray(state.y),
+            pi=d_r * y_s,
             obj=np.float64(c @ x_np),
             art_sign=np.ones(m_pad),
             trace=np.zeros((0, 8), np.float32),

@@ -164,6 +164,12 @@ class SolverConfig:
     # an EXACT vertex optimum — typically a handful of pivots.  Applies
     # when the in-loop primal is available (m_pad ≤ 12288).
     pdlp_crossover: bool = True
+    # PDHG device matrix: "bricks" re-tiles the nonzeros into (8, 128)
+    # dense bricks gathered as 128-lane rows — TPU element gathers are
+    # serial (~14 ns/element; tools/probe_gather_layouts.py), so the ELL
+    # forms that win on CPU run ~40× slower than bricks on the TPU.
+    # "auto" picks bricks on accelerators, ELL on CPU.
+    pdlp_matrix: str = "auto"
     # temporary-box magnitude for the dual start (data is equilibrated to
     # O(1), so this is effectively absolute in scaled space)
     dual_box: float = 1e7

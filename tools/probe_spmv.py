@@ -22,8 +22,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from relp_tpu.io import import_lp
-from relp_tpu.model.computational_form import computational_form_of
-from relp_tpu.presolve.engine import presolve_general_form
+from relp_tpu.model.computational_form import build_computational_form
+from relp_tpu.presolve.engine import presolve
 from relp_tpu.simplex.driver import _bucket, _device_matrix
 from relp_tpu.utils.config import SolverConfig
 
@@ -34,8 +34,8 @@ def main():
     )
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     gf = import_lp(path)
-    presolve_general_form(gf)
-    cf = computational_form_of(gf)
+    presolve(gf)
+    cf = build_computational_form(gf)
     cfg = SolverConfig(matrix_format="ell")
     m_pad = _bucket(cf.m, 256)
     n_pad = _bucket(cf.n + 0, 256)
