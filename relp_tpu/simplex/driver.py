@@ -564,6 +564,8 @@ def solve_computational_form(
         rounds_per_call = max(
             1, min(rounds_cap, 4_000_000 // max(m_pad + n_pad, 1))
         )
+        best_kkt, best_it = np.inf, 0
+        accepted = False
         while int(state.it) < budget:
             state = solve_pdhg_chunk(
                 A_s, b_s, c_s, lb_s, ub_s, state,
@@ -579,8 +581,32 @@ def solve_computational_form(
                 )
             if int(state.status) != st.RUNNING:
                 break
+            # plateau detection: the f64 relative-KKT floor can sit above
+            # pdlp_tol (config.pdlp_accept docstring) — stop burning
+            # iterations once progress stalls, accept if good enough
+            if float(state.kkt) < 0.9 * best_kkt:
+                best_kkt, best_it = float(state.kkt), int(state.it)
+            elif (
+                config.pdlp_plateau > 0
+                and int(state.it) - best_it >= config.pdlp_plateau
+            ):
+                if float(state.kkt) <= float(config.pdlp_accept):
+                    accepted = True
+                    _log.info(
+                        "pdlp plateau at it=%d: accepting kkt=%.3e "
+                        "(tol=%.1e unreached, accept=%.1e)",
+                        int(state.it), float(state.kkt),
+                        float(config.pdlp_tol), float(config.pdlp_accept),
+                    )
+                else:
+                    _log.info(
+                        "pdlp plateau at it=%d: kkt=%.3e > accept=%.1e — "
+                        "falling back", int(state.it), float(state.kkt),
+                        float(config.pdlp_accept),
+                    )
+                break
         total_done += int(state.it)
-        if int(state.status) != st.OPTIMAL:
+        if int(state.status) != st.OPTIMAL and not accepted:
             return None
         from types import SimpleNamespace
 
