@@ -66,6 +66,13 @@ def main(argv=None) -> int:
         "the TPU-fast SpMV; auto = bricks on accelerators, ELL on CPU)",
     )
     ap.add_argument(
+        "--pdlp-variant",
+        choices=["halpern", "avg"],
+        default="halpern",
+        help="PDHG restart scheme (halpern = reflected Halpern iteration, "
+        "the cuPDLP+ accelerant; avg = classic PDLP average restarts)",
+    )
+    ap.add_argument(
         "--perturb",
         type=float,
         default=0.0,
@@ -118,6 +125,7 @@ def main(argv=None) -> int:
         dual_pricing=args.dual_pricing,
         pdlp_crossover=not args.no_crossover,
         pdlp_matrix=args.pdlp_matrix,
+        pdlp_variant=args.pdlp_variant,
     )
 
     t0 = time.perf_counter()

@@ -22,6 +22,13 @@ Primal-Dual Hybrid Gradient" — the method behind Google PDLP):
   stretch without one — restart-every-round oscillates.
 - **primal weight** ω rebalances from the primal/dual movement ratio at
   each restart (θ = 0.5 geometric update).
+- **reflected Halpern variant** (``variant="halpern"``): the restarted
+  Halpern iteration over the *reflected* PDHG operator,
+  z⁺ = (1−β)(2T(z)−z) + β·z₀ with β = 1/(k+2) and z₀ the restart
+  anchor (Lu & Yang, "Restarted Halpern PDHG for linear programming" —
+  the cuPDLP+ accelerant).  The anchor combination is linear, so the
+  cached A·x updates without an extra SpMV; restarts jump to T(z)
+  (the paper's rule) when it beats the Halpern iterate.
 - every op is an SpMV (amatrix matvec/rmatvec — O(nnz) gathers on the
   ELL layout) or an O(n+m) vector op; f64 throughout (elementwise f64
   is cheap on this TPU — only *matmuls* pay the limb-emulation tax, and
@@ -62,8 +69,9 @@ class PdhgState(NamedTuple):
     x_sum: jax.Array    # f64[n] running sums since the last restart
     y_sum: jax.Array
     steps: jax.Array    # i32    accepted steps since the last restart
-    x_anchor: jax.Array  # f64[n] point of the last restart (ω updates)
-    y_anchor: jax.Array
+    x_anchor: jax.Array  # f64[n] point of the last restart (ω updates,
+    y_anchor: jax.Array  #        Halpern anchor z₀)
+    ax_anchor: jax.Array  # f64[m] cached A·x_anchor (Halpern combination)
     eta: jax.Array      # f64    adaptive step size
     omega: jax.Array    # f64    primal weight
     it: jax.Array       # i32    total inner iterations (incl. rejected)
@@ -109,18 +117,105 @@ def _kkt(A, b, c, lb, ub, x, y):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("round_len", "max_rounds", "tol")
+    jax.jit, static_argnames=("round_len", "max_rounds", "tol", "variant")
 )
 def solve_pdhg_chunk(
     A, b, c, lb, ub, state: PdhgState,
     round_len: int = 256, max_rounds: int = 512, tol: float = 1e-8,
+    variant: str = "avg",
 ) -> PdhgState:
     """Run up to ``max_rounds`` restart rounds (``round_len`` adaptive
     PDHG steps each) from ``state``; returns when KKT < tol (OPTIMAL) or
     the round budget is exhausted (status stays RUNNING — the driver
     continues with another chunk, keeping each device execution under
-    the watchdog)."""
+    the watchdog).  ``variant``: "avg" restarts to the running average
+    (classic PDLP); "halpern" runs the reflected Halpern iteration
+    (module docstring) and restarts to T(z)."""
     A = as_amatrix(A)
+
+    def round_body_halpern(s: PdhgState) -> PdhgState:
+        # CONSTANT step size (s.eta stays the driver's 0.9/‖A‖): the
+        # reflection 2T−I is nonexpansive only under the global bound
+        # τσ‖A‖² ≤ 1 — the avg variant's local-curvature adaptive η can
+        # exceed it, and anchoring amplifies the resulting expansion
+        # (measured: adaptive-η Halpern is 2-5× slower on Netlib)
+        eta = s.eta
+        tau = eta / s.omega
+        sigma = eta * s.omega
+
+        def step(_, carry):
+            x, y, ax, acc = carry
+            x1 = jnp.clip(x - tau * (c - A.rmatvec(y)), lb, ub)
+            ax1 = A.matvec(x1)
+            y1 = y + sigma * (b - (2.0 * ax1 - ax))
+            # reflected Halpern step: z⁺ = (1−β)(2T(z)−z) + β z₀,
+            # β = 1/(acc+2); all three pieces are linear in (x, ax), so
+            # the cached A·x follows the same combination — no extra SpMV
+            beta = 1.0 / (acc.astype(b.dtype) + 2.0)
+            x = (1.0 - beta) * (2.0 * x1 - x) + beta * s.x_anchor
+            y = (1.0 - beta) * (2.0 * y1 - y) + beta * s.y_anchor
+            ax = (1.0 - beta) * (2.0 * ax1 - ax) + beta * s.ax_anchor
+            return x, y, ax, acc + 1
+
+        x1, y1, ax1, acc = lax.fori_loop(
+            0, round_len, step, (s.x, s.y, s.ax, s.steps)
+        )
+        # restart/evaluation candidate: one extra PDHG application T(z)
+        # (the Halpern iterate z converges too — keep the better of the
+        # two, mirroring avg-mode's current-vs-average choice)
+        xT = jnp.clip(x1 - tau * (c - A.rmatvec(y1)), lb, ub)
+        axT = A.matvec(xT)
+        yT = y1 + sigma * (b - (2.0 * axT - ax1))
+
+        kkt_cur = _kkt(A, b, c, lb, ub, x1, y1)
+        kkt_T = _kkt(A, b, c, lb, ub, xT, yT)
+        use_T = kkt_T < kkt_cur
+        kkt = jnp.minimum(kkt_cur, kkt_T)
+
+        # Halpern restart rule (Lu & Yang): sufficient decay of the
+        # ω-weighted FIXED-POINT residual ‖T(z)−z‖ vs the anchor's
+        # (factor 0.2), not KKT decay; kkt_mu stores the anchor residual
+        r_fp = jnp.sqrt(
+            s.omega * jnp.sum((xT - x1) ** 2)
+            + jnp.sum((yT - y1) ** 2) / s.omega
+        )
+        do_restart = (r_fp < 0.2 * s.kkt_mu) | (acc >= 16 * round_len)
+        x_re = jnp.where(use_T, xT, x1)
+        y_re = jnp.where(use_T, yT, y1)
+        ax_re = jnp.where(use_T, axT, ax1)
+
+        dxn = jnp.linalg.norm(x_re - s.x_anchor)
+        dyn = jnp.linalg.norm(y_re - s.y_anchor)
+        good = do_restart & (dxn > 1e-30) & (dyn > 1e-30)
+        omega = jnp.where(
+            good,
+            jnp.exp(0.5 * jnp.log(dyn / jnp.where(dxn > 0, dxn, 1.0))
+                    + 0.5 * jnp.log(s.omega)),
+            s.omega,
+        )
+        omega = jnp.clip(omega, 1e-6, 1e6)
+
+        x_new = jnp.where(do_restart, x_re, x1)
+        y_new = jnp.where(do_restart, y_re, y1)
+        ax_new = jnp.where(do_restart, ax_re, ax1)
+        done = kkt < tol
+        return PdhgState(
+            x=x_new,
+            y=y_new,
+            ax=ax_new,
+            x_sum=s.x_sum,
+            y_sum=s.y_sum,
+            steps=jnp.where(do_restart, 0, acc).astype(jnp.int32),
+            x_anchor=jnp.where(do_restart, x_new, s.x_anchor),
+            y_anchor=jnp.where(do_restart, y_new, s.y_anchor),
+            ax_anchor=jnp.where(do_restart, ax_new, s.ax_anchor),
+            eta=eta,
+            omega=omega,
+            it=s.it + round_len,
+            kkt=kkt,
+            kkt_mu=jnp.where(do_restart, r_fp, s.kkt_mu),
+            status=jnp.where(done, st.OPTIMAL, s.status).astype(jnp.int32),
+        )
 
     def round_body(s: PdhgState) -> PdhgState:
         def step(_, carry):
@@ -188,16 +283,19 @@ def solve_pdhg_chunk(
 
         x_new = jnp.where(do_restart, x_re, x1)
         y_new = jnp.where(do_restart, y_re, y1)
+        ax_out = jnp.where(do_restart & use_avg, A.matvec(x_new), ax1)
         done = kkt < tol
         return PdhgState(
             x=x_new,
             y=y_new,
-            ax=jnp.where(do_restart & use_avg, A.matvec(x_new), ax1),
+            ax=ax_out,
             x_sum=jnp.where(do_restart, jnp.zeros_like(xs), xs),
             y_sum=jnp.where(do_restart, jnp.zeros_like(ys), ys),
             steps=jnp.where(do_restart, 0, acc).astype(jnp.int32),
             x_anchor=jnp.where(do_restart, x_new, s.x_anchor),
             y_anchor=jnp.where(do_restart, y_new, s.y_anchor),
+            # on restart x_anchor = x_new, whose A·x is ax_out already
+            ax_anchor=jnp.where(do_restart, ax_out, s.ax_anchor),
             eta=eta,
             omega=omega,
             it=s.it + round_len,
@@ -210,9 +308,11 @@ def solve_pdhg_chunk(
         s, r = sr
         return (s.status == st.RUNNING) & (r < max_rounds)
 
+    step_round = round_body_halpern if variant == "halpern" else round_body
+
     def body(sr):
         s, r = sr
-        return round_body(s), r + 1
+        return step_round(s), r + 1
 
     final, _ = lax.while_loop(cond, body, (state, jnp.int32(0)))
     return final
@@ -223,11 +323,12 @@ def initial_state(A, lb, ub, eta0, dtype=jnp.float64) -> PdhgState:
     m, n = A.shape
     x0 = jnp.clip(jnp.zeros(n, dtype), lb, ub)
     y0 = jnp.zeros(m, dtype)
+    ax0 = A.matvec(x0)
     return PdhgState(
-        x=x0, y=y0, ax=A.matvec(x0),
+        x=x0, y=y0, ax=ax0,
         x_sum=jnp.zeros(n, dtype), y_sum=jnp.zeros(m, dtype),
         steps=jnp.int32(0),
-        x_anchor=x0, y_anchor=y0,
+        x_anchor=x0, y_anchor=y0, ax_anchor=ax0,
         eta=jnp.asarray(eta0, dtype),
         omega=jnp.array(1.0, dtype),
         it=jnp.int32(0),

@@ -571,6 +571,7 @@ def solve_computational_form(
                 A_s, b_s, c_s, lb_s, ub_s, state,
                 round_len=round_len, max_rounds=rounds_per_call,
                 tol=float(config.pdlp_tol),
+                variant=str(config.pdlp_variant),
             )
             state = jax.block_until_ready(state)
             if _log.isEnabledFor(20):
@@ -584,6 +585,16 @@ def solve_computational_form(
             # plateau detection: the f64 relative-KKT floor can sit above
             # pdlp_tol (config.pdlp_accept docstring) — stop burning
             # iterations once progress stalls, accept if good enough
+            if not np.isfinite(state.kkt) or (
+                best_kkt < 1.0 and float(state.kkt) > max(1e6 * best_kkt, 1e3)
+            ):
+                # divergence guard: adaptive-η PDHG can blow up (SCSD8 in
+                # avg mode reaches KKT ~1e133) — stop burning iterations
+                _log.info(
+                    "pdlp diverged at it=%d (kkt=%.3e, best=%.3e) — "
+                    "falling back", int(state.it), float(state.kkt), best_kkt,
+                )
+                break
             if float(state.kkt) < 0.9 * best_kkt:
                 best_kkt, best_it = float(state.kkt), int(state.it)
             elif (

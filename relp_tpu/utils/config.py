@@ -166,6 +166,10 @@ class SolverConfig:
     # otherwise it falls back to simplex as usual.
     pdlp_accept: float = 1e-6
     pdlp_plateau: int = 32768
+    # restart scheme: "halpern" = reflected Halpern iteration (cuPDLP+
+    # accelerant, restarts to T(z)); "avg" = classic PDLP running-average
+    # restarts (fom/pdhg.py docstring)
+    pdlp_variant: str = "halpern"
     # After PDLP certifies its KKT tolerance, warm-start the primal
     # simplex from a basis guess at the first-order point (near-bound
     # variables snapped nonbasic, the m most interior basic) to recover

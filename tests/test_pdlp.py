@@ -83,6 +83,43 @@ def test_pdhg_chunk_tiny_lp():
     assert float(c @ s.x) == pytest.approx(-1.0, abs=1e-6)
 
 
+def test_pdhg_chunk_halpern_tiny_lp():
+    """The reflected-Halpern variant reaches the same point (constant
+    step, anchor restarts — fom/pdhg.py round_body_halpern)."""
+    import jax.numpy as jnp
+
+    from relp_tpu.fom.pdhg import (
+        _power_norm, initial_state, solve_pdhg_chunk,
+    )
+
+    A = jnp.array([[1.0, 1.0]])
+    b = jnp.array([1.0])
+    c = jnp.array([-1.0, -1.0])
+    lb = jnp.zeros(2)
+    ub = jnp.ones(2)
+    eta0 = 0.9 / float(_power_norm(A))
+    s = initial_state(A, lb, ub, eta0)
+    s = solve_pdhg_chunk(
+        A, b, c, lb, ub, s, round_len=64, max_rounds=64, variant="halpern"
+    )
+    assert float(jnp.abs(A @ s.x - b)[0]) < 1e-6
+    assert float(c @ s.x) == pytest.approx(-1.0, abs=1e-6)
+
+
+@pytest.mark.netlib
+def test_pdlp_variant_avg_still_converges():
+    """Both restart schemes stay selectable (config.pdlp_variant); the
+    classic average-restart scheme must keep converging."""
+    from relp_tpu.api import solve
+
+    res = solve(
+        reference_problem("netlib", "SC50B.SIF"),
+        config=SolverConfig(algorithm="pdlp", pdlp_variant="avg"),
+    )
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert res.solution.objective_value == pytest.approx(-70.0, rel=1e-6)
+
+
 def test_pdlp_crossover_exact_vertex():
     """With crossover (default) the PDLP point is polished to the exact
     simplex optimum; without it the objective is only KKT-tol accurate."""
