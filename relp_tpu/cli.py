@@ -85,6 +85,14 @@ def main(argv=None) -> int:
         help="branch-and-bound on INTEGER (INTORG-marked) variables",
     )
     ap.add_argument(
+        "--mip-cuts",
+        type=int,
+        default=4,
+        metavar="N",
+        help="with --mip: rounds of root-node Gomory mixed-integer cuts "
+        "(0 = plain branch-and-bound)",
+    )
+    ap.add_argument(
         "--mesh-cols",
         type=int,
         default=1,
@@ -156,7 +164,7 @@ def main(argv=None) -> int:
         if args.mip:
             from relp_tpu.models.branch_bound import solve_mip
 
-            mip = solve_mip(general, config)
+            mip = solve_mip(general, config, cut_rounds=args.mip_cuts)
             from relp_tpu.model.solution import Solution
 
             class _R:  # adapt MipResult to the GeneralFormResult surface

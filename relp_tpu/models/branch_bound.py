@@ -12,6 +12,15 @@ tree search runs as a stream of short, chunk-bounded device calls against
 one resident problem (single padded shape ⇒ single compiled program).
 
 Search: best-first on the LP bound; branching variable: most fractional.
+
+Root-node **Gomory mixed-integer cuts** (cut-and-branch) close the last
+unchecked item on the reference's roadmap ("Implement Gomory cuts",
+README.md:15-28): GMI cuts are derived host-side from tableau rows of the
+optimal basis whose basic variable is integer and fractional, written into
+the PADDING rows/columns of the static device shapes (each cut = one row
++ one slack column — no recompilation), and the augmented LP is re-solved
+warm with the dual simplex (the old basis plus the new cut slacks stays
+dual feasible).
 """
 
 from __future__ import annotations
@@ -48,12 +57,102 @@ class MipResult:
         return self.kind is LinearProgramType.FINITE_OPTIMUM
 
 
+def _gomory_cuts(
+    A, x, basis, vstat, art_sign, integer_mask, lb, ub,
+    n_used, max_cuts, int_tol,
+):
+    """Gomory mixed-integer (GMI) cuts from the optimal tableau.
+
+    For each basis row whose basic variable is integer with fractional
+    value, shift every nonbasic column to its active bound (t_j = x_j−lb_j
+    at lower, ub_j−x_j at upper), apply the GMI formula to
+    x_k + Σ ã_j t_j = x̄_k, and un-shift.  Returns (gammas, deltas): cuts
+    Σ γ·x ≥ δ over the padded column space.  Conservative acceptance
+    (fractionality ≥ 1e-4, bounded dynamic range) keeps float-derived
+    cuts safe.
+    """
+    import scipy.linalg as sla
+
+    m_pad, n_pad = A.shape
+    x = np.asarray(x)
+    basis = np.asarray(basis, int)
+    vs = np.asarray(vstat, int)[:n_pad]
+
+    cand = []
+    for i in range(m_pad):
+        k = basis[i]
+        if k >= n_used or not integer_mask[k]:
+            continue
+        f0 = x[k] - math.floor(x[k])
+        if f0 < 1e-4 or f0 > 1.0 - 1e-4:
+            continue
+        cand.append((min(f0, 1.0 - f0), i, k, f0))
+    if not cand:
+        return [], []
+    cand.sort(reverse=True)
+    cand = cand[:max_cuts]
+
+    B = np.zeros((m_pad, m_pad))
+    for i, kb in enumerate(basis):
+        if kb >= n_pad:
+            B[kb - n_pad, i] = art_sign[kb - n_pad]
+        else:
+            B[:, i] = A[:, kb]
+    try:
+        lu = sla.lu_factor(B)
+    except Exception:
+        return [], []
+
+    nb_mask = vs != st.BASIC
+    at_up = vs == st.NB_UPPER
+    at_lo = (vs == st.NB_LOWER) | (vs == st.NB_FIXED)
+    free_nb = vs == st.NB_FREE
+    act_bound = np.where(at_up, ub, np.where(np.isfinite(lb), lb, 0.0))
+    # t_j is integral only when x_j is integer AND its active bound is
+    t_int = integer_mask & (
+        np.abs(act_bound - np.round(act_bound)) < 1e-9
+    )
+
+    gammas, deltas = [], []
+    for _, i, k, f0 in cand:
+        e = np.zeros(m_pad)
+        e[i] = 1.0
+        w = sla.lu_solve(lu, e, trans=1)  # Bᵀ w = e_i
+        row = w @ A  # tableau row over the padded columns
+        # a free nonbasic with a real coefficient has no valid shift
+        if np.any(free_nb & nb_mask & (np.abs(row) > 1e-9)):
+            continue
+        ratio = f0 / (1.0 - f0)
+        a_t = np.where(at_up, -row, row)  # shifted coefficient ã_j
+        fj = a_t - np.floor(a_t)
+        coef_int = np.where(fj <= f0 + 1e-12, fj, ratio * (1.0 - fj))
+        coef_cont = np.where(a_t >= 0.0, a_t, -ratio * a_t)
+        coef = np.where(t_int, coef_int, coef_cont)
+        coef = np.where(nb_mask, coef, 0.0)
+        coef[np.abs(coef) < 1e-12] = 0.0
+        nz = np.abs(coef[coef != 0.0])
+        if nz.size == 0 or nz.max() > 1e7 or nz.max() / nz.min() > 1e8:
+            continue  # numerically unsafe cut
+        gamma = np.where(at_up, -coef, coef)
+        delta = f0 + float(
+            np.sum(np.where(at_lo & (coef != 0.0), coef * act_bound, 0.0))
+            - np.sum(np.where(at_up & (coef != 0.0), coef * act_bound, 0.0))
+        )
+        # must actually cut off the current vertex
+        if float(gamma @ x) > delta - 1e-6:
+            continue
+        gammas.append(gamma)
+        deltas.append(delta)
+    return gammas, deltas
+
+
 def solve_mip(
     general: GeneralForm,
     config: SolverConfig = DEFAULT_CONFIG,
     max_nodes: int = 2000,
     int_tol: float = 1e-6,
     gap_tol: float = 1e-9,
+    cut_rounds: int = 4,
 ) -> MipResult:
     """Branch-and-bound on the INTEGER-typed variables of ``general``.
 
@@ -125,14 +224,8 @@ def solve_mip(
     if int(root.status) == st.UNBOUNDED:
         return MipResult(kind=LinearProgramType.UNBOUNDED, nodes=nodes)
     if int(root.status) != st.OPTIMAL:
-        return MipResult(kind=LinearProgramType.INFEASIBLE, nodes=nodes)
-
-    best_obj = INF  # internal (minimization) objective
-    best_x: Optional[np.ndarray] = None
-
-    # best-first heap: (lp bound, tiebreak, lb, ub, prior SolveOutput)
-    tick = 0
-    heap: List[Tuple[float, int, np.ndarray, np.ndarray, object]] = []
+        # unresolved root (iteration limit / numerical) is NOT a proof
+        return MipResult(kind=LinearProgramType.ITERATION_LIMIT, nodes=nodes)
 
     def fractional(x):
         xi = x[:n][integer_mask[:n]]
@@ -140,6 +233,65 @@ def solve_mip(
         fr = np.abs(xi - np.round(xi))
         bad = fr > int_tol * (1 + np.abs(xi))
         return idxs[bad], fr[bad]
+
+    # --- root-node Gomory cut rounds (cut-and-branch) -------------------
+    # each cut occupies one padding row (the cut) and one padding column
+    # (its surplus slack: γᵀx − s = δ, s ≥ 0); the prior basis plus the
+    # new slack basic in the new row stays dual feasible, so each round
+    # is one warm dual-simplex call against the same compiled shapes
+    from relp_tpu.simplex.dual import solve_core_dual
+
+    m_used, n_used = m, n
+    for _ in range(max(0, cut_rounds)):
+        if m_used >= m_pad or n_used >= n_pad:
+            break
+        x_r = np.asarray(root.x)
+        bad_r, _ = fractional(x_r)
+        if len(bad_r) == 0:
+            break
+        space = min(m_pad - m_used, n_pad - n_used, 16)
+        gammas, deltas = _gomory_cuts(
+            A, x_r, root.basis, root.vstat, np.asarray(root.art_sign),
+            integer_mask, lb0, ub0, n_used, space, int_tol,
+        )
+        if not gammas:
+            break
+        A2, b2 = A.copy(), b.copy()
+        lb2, ub2 = lb0.copy(), ub0.copy()
+        basis2 = np.asarray(root.basis, np.int32).copy()
+        vstat2 = np.asarray(root.vstat, np.int32).copy()
+        for t, (g, d) in enumerate(zip(gammas, deltas)):
+            r, js = m_used + t, n_used + t
+            A2[r, :] = g
+            A2[r, js] = -1.0
+            b2[r] = d
+            lb2[js], ub2[js] = 0.0, INF
+            basis2[r] = js
+            vstat2[js] = st.BASIC
+        out = solve_core_dual(
+            A2, b2, c, lb2, ub2, basis2, vstat2[:n_pad],
+            cfg=config, max_iter=max_iter,
+            art_sign0=np.asarray(root.art_sign),
+        )
+        lp_iters += int(out.it)
+        # cuts only RAISE the LP minimum; anything else is numerical —
+        # discard the round and branch from the last good state
+        if int(out.status) != st.OPTIMAL or float(out.obj) < float(
+            root.obj
+        ) - 1e-6 * (1.0 + abs(float(root.obj))):
+            break
+        A, b, lb0, ub0 = A2, b2, lb2, ub2
+        m_used += len(gammas)
+        n_used += len(gammas)
+        root = out
+
+    best_obj = INF  # internal (minimization) objective
+    best_x: Optional[np.ndarray] = None
+    complete = True  # every pruned branch was proved (not just dropped)
+
+    # best-first heap: (lp bound, tiebreak, lb, ub, prior SolveOutput)
+    tick = 0
+    heap: List[Tuple[float, int, np.ndarray, np.ndarray, object]] = []
 
     def push(bound, lb, ub, prior):
         nonlocal tick
@@ -179,7 +331,9 @@ def solve_mip(
             nodes += 1
             lp_iters += int(out.it)
             if int(out.status) != st.OPTIMAL:
-                continue  # infeasible child (or numerical: drop the node)
+                if int(out.status) != st.INFEASIBLE:
+                    complete = False  # unresolved child: no infeas. proof
+                continue
             child_bound = float(out.obj)
             if child_bound >= best_obj - gap_tol:
                 continue
@@ -193,8 +347,18 @@ def solve_mip(
                 push(child_bound, lb2, ub2, out)
 
     if best_x is None:
+        # INFEASIBLE only when the search tree was exhausted with every
+        # branch resolved; a node/LP-budget stop without an incumbent is
+        # an unresolved ITERATION_LIMIT, not a proof
+        proved = complete and not heap and nodes < max_nodes
         return MipResult(
-            kind=LinearProgramType.INFEASIBLE, nodes=nodes, lp_iterations=lp_iters
+            kind=(
+                LinearProgramType.INFEASIBLE
+                if proved
+                else LinearProgramType.ITERATION_LIMIT
+            ),
+            nodes=nodes,
+            lp_iterations=lp_iters,
         )
 
     # remaining open bound (for gap reporting)

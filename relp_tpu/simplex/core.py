@@ -713,6 +713,22 @@ def solve_core(
         # (numerically) zero — a stuck positive artificial means the point
         # does not satisfy the original constraints
         art_ok = art_mass(s) <= 10 * cfg.eps_feas
+        # ... and the basic variables to sit within their bounds.  A WARM
+        # basis can be reduced-cost optimal yet primal infeasible (e.g. a
+        # B&B child start after a bound tightening cut below the parent's
+        # basic value): art_mass is 0, the phase jumps to 2, and without
+        # this check the loop would declare OPTIMAL at an out-of-bounds
+        # point.  Such terminals route to repair() — the artificial
+        # phase-1 restart — which then proves optimality or infeasibility
+        # properly (phase 1 excludes basic artificials: their positive
+        # level IS the phase-1 objective).
+        xb_viol = jnp.maximum(
+            jnp.take(lb_tot, s.basis) - s.xB,
+            s.xB - jnp.take(ub_tot_p2, s.basis),
+        )
+        xb_ok = jnp.max(
+            jnp.where(phase1 & (s.basis >= n), 0.0, xb_viol)
+        ) <= 1e3 * cfg.eps_feas
         terminal_status = jnp.where(
             phase1,
             st.INFEASIBLE,
@@ -729,6 +745,12 @@ def solve_core(
         # optimality/infeasibility — stay RUNNING so the watchdog repairs it
         status_new = jnp.where(broken, s.status, status_new)
         status_new = jnp.where(s.status != st.RUNNING, s.status, status_new)
+        # bound-violating phase-2 terminal: suppress the status and repair
+        needs_repair = (
+            wants_terminal & fresh & ~transition & ~broken & ~phase1
+            & ~xb_ok & (s.status == st.RUNNING)
+        )
+        status_new = jnp.where(needs_repair, s.status, status_new)
 
         # ---- periodic in-loop invariant check (cfg.check_every_n) ----
         # Samples the cheap BFS invariants — row residual of the current
@@ -787,7 +809,7 @@ def solve_core(
         else:
             trace_new = s.trace
 
-        return s._replace(
+        s_out = s._replace(
             status=status_new.astype(jnp.int32),
             xB=xB_new,
             Binv=Binv_new,
@@ -812,6 +834,9 @@ def solve_core(
             ).astype(jnp.int32),
             it=s.it + 1,
         )
+        # infeasible-warm-basis terminal (see xb_ok): restart via repair()
+        # — fires at most once per bad warm start, like the refactor cond
+        return lax.cond(needs_repair, repair, lambda t: t, s_out)
 
     def cond(s: State):
         return (s.status == st.RUNNING) & (s.it < max_iter)

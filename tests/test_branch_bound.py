@@ -115,3 +115,93 @@ def test_pure_lp_delegates():
     )
     res = solve_mip(g)
     assert res.is_optimal and res.objective == pytest.approx(-7.0, abs=1e-7)
+
+
+def test_gomory_cuts_close_root_gap():
+    """max x+y st 2x+2y <= 3, x,y binary: the root LP relaxation is
+    fractional (x+y = 1.5); one GMI round derives x+y <= 1 (up to
+    scaling) and the cut-strengthened root solves integrally with NO
+    branching (branch_bound._gomory_cuts)."""
+    g = mip(
+        [[2, 2]], ["<="], [3],
+        [IV("x", 1), IV("y", 1)],
+        objective=Objective.MAXIMIZE,
+    )
+    res = solve_mip(g, cut_rounds=4)
+    assert res.is_optimal
+    assert res.objective == pytest.approx(1.0)
+    vals = sorted(res.values.values())
+    assert vals == pytest.approx([0.0, 1.0])
+    # the cut made the root integral: 1 root node, no tree
+    assert res.nodes == 1
+
+    # plain B&B still gets the optimum, but needs to branch
+    res0 = solve_mip(g, cut_rounds=0)
+    assert res0.is_optimal
+    assert res0.objective == pytest.approx(1.0)
+    assert res0.nodes > 1
+
+
+def test_gomory_cuts_general_integer():
+    """Non-binary integers with a fractional LP vertex: max 3x+4y st
+    3x+5y <= 14, 4x+y <= 9, x,y in Z, 0<=x,y<=4 — LP vertex
+    (31/17, 29/17) is fractional; integer optimum 11 at (1, 2).
+    Cuts must not cut off the integer hull."""
+    g = mip(
+        [[3, 5], [4, 1]], ["<=", "<="], [14, 9],
+        [IV("x", 3, upper=4.0), IV("y", 4, upper=4.0)],
+        objective=Objective.MAXIMIZE,
+    )
+    for rounds in (0, 4):
+        res = solve_mip(g, cut_rounds=rounds)
+        assert res.is_optimal
+        assert res.objective == pytest.approx(11.0)
+        assert res.values["x"] == pytest.approx(1.0)
+        assert res.values["y"] == pytest.approx(2.0)
+
+
+def test_warm_restart_infeasible_child_detected():
+    """Regression: a warm primal start whose basis is reduced-cost optimal
+    but primal INFEASIBLE under tightened bounds must not report OPTIMAL
+    (core.py xb_ok terminal gate).  Child x>=2, y>=2 of the LP below is
+    infeasible (3*2+5*2 > 14); the pre-fix core returned the parent vertex
+    as 'optimal' and the B&B looped to max_nodes."""
+    import dataclasses as dc
+
+    import scipy.sparse as sp2
+
+    from relp_tpu.model.computational_form import build_computational_form
+    from relp_tpu.simplex import status as st
+    from relp_tpu.simplex.core import solve_core
+    from relp_tpu.simplex.driver import _bucket
+    from relp_tpu.simplex.reoptimize import reoptimize_with_bounds
+    from relp_tpu.utils.config import DEFAULT_CONFIG
+
+    g = mip(
+        [[3, 5], [4, 1]], ["<=", "<="], [14, 9],
+        [IV("x", 3, upper=4.0), IV("y", 4, upper=4.0)],
+        objective=Objective.MAXIMIZE,
+    )
+    config = dc.replace(DEFAULT_CONFIG, scale=False, presolve=False)
+    cf = build_computational_form(g, scale=False)
+    m_pad = _bucket(cf.m, config.row_align * 8)
+    n_pad = _bucket(cf.n, config.col_align * 2)
+    A = np.zeros((m_pad, n_pad))
+    A[: cf.m, : cf.n] = sp2.csc_matrix(cf.A).toarray()
+    b = np.zeros(m_pad)
+    b[: cf.m] = cf.b
+    c = np.zeros(n_pad)
+    c[: cf.n] = cf.c
+    lb = np.zeros(n_pad)
+    ub = np.zeros(n_pad)
+    lb[: cf.n] = cf.lb
+    ub[: cf.n] = cf.ub
+    mi = config.resolve_max_iter(m_pad, n_pad)
+    root = solve_core(A, b, c, lb, ub, cfg=config, max_iter=mi)
+    assert int(root.status) == st.OPTIMAL
+    lb2 = lb.copy()
+    lb2[0], lb2[1] = 2.0, 2.0  # jointly infeasible tightening
+    out = reoptimize_with_bounds(
+        A, b, c, lb2, ub, root, config=config, max_iter=mi
+    )
+    assert int(out.status) == st.INFEASIBLE
