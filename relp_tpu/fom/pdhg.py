@@ -84,7 +84,12 @@ def _power_norm(A, iters: int = 30):
     """‖A‖₂ by power iteration on AᵀA (device SpMVs)."""
     A = as_amatrix(A)
     m, n = A.shape
-    v = jnp.full((n,), 1.0 / jnp.sqrt(n), A.dtype)
+    # deterministic quasi-random start: a CONSTANT vector can lie exactly
+    # in null(A) (SCSD8's balanced rows) — the iteration then collapses to
+    # the 1e-6 floor and η comes out ~10⁶× too large, diverging PDHG
+    i = jnp.arange(n, dtype=A.dtype)
+    v = jnp.cos(1.7 * i + 0.3) + 0.5
+    v = v / jnp.linalg.norm(v)
 
     def body(_, v):
         w = A.rmatvec(A.matvec(v))

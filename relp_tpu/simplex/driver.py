@@ -565,13 +565,56 @@ def solve_computational_form(
             1, min(rounds_cap, 4_000_000 // max(m_pad + n_pad, 1))
         )
         best_kkt, best_it = np.inf, 0
+        best_xy = None  # snapshot of the best-KKT point (adaptive PDHG can
+        # REGRESS after nearly converging — ω rebalance instability — and
+        # the last iterate is then worse than the best one seen)
         accepted = False
+        # neither restart scheme dominates (halpern converges where avg
+        # diverges on SCSD8; avg converges where halpern stalls on
+        # STOCFOR3) — on plateau-above-accept or divergence, cascade to
+        # the untried scheme before giving up on the first-order path
+        variant = str(config.pdlp_variant)
+        other = {"halpern": "avg", "avg": "halpern"}[variant]
+        variants_left = [other]
+
+        def _switch_variant(warm: bool):
+            nonlocal state, variant, best_kkt, best_it
+            variant = variants_left.pop(0)
+            if warm:
+                # continue from the BEST point seen (the last iterate may
+                # have regressed); re-anchor and clear the scheme's restart
+                # bookkeeping (x_sum/steps for avg, kkt_mu = the anchor
+                # residual for halpern)
+                x0, y0 = state.x, state.y
+                if best_xy is not None:
+                    x0 = jnp.asarray(best_xy[0])
+                    y0 = jnp.asarray(best_xy[1])
+                ax0 = as_amatrix(A_s).matvec(x0)
+                state = state._replace(
+                    x=x0,
+                    y=y0,
+                    ax=ax0,
+                    x_sum=jnp.zeros_like(state.x_sum),
+                    y_sum=jnp.zeros_like(state.y_sum),
+                    steps=jnp.int32(0),
+                    x_anchor=x0,
+                    y_anchor=y0,
+                    ax_anchor=ax0,
+                    eta=jnp.asarray(0.9 / norm_A, state.eta.dtype),
+                    kkt_mu=jnp.asarray(np.inf, state.kkt_mu.dtype),
+                )
+            else:  # diverged: the point is garbage, restart clean
+                state = initial_state(
+                    as_amatrix(A_s), lb_s, ub_s, 0.9 / norm_A
+                )._replace(it=state.it)
+            best_it = int(state.it)
+
         while int(state.it) < budget:
             state = solve_pdhg_chunk(
                 A_s, b_s, c_s, lb_s, ub_s, state,
                 round_len=round_len, max_rounds=rounds_per_call,
                 tol=float(config.pdlp_tol),
-                variant=str(config.pdlp_variant),
+                variant=variant,
             )
             state = jax.block_until_ready(state)
             if _log.isEnabledFor(20):
@@ -585,30 +628,60 @@ def solve_computational_form(
             # plateau detection: the f64 relative-KKT floor can sit above
             # pdlp_tol (config.pdlp_accept docstring) — stop burning
             # iterations once progress stalls, accept if good enough
-            if not np.isfinite(state.kkt) or (
+            if not np.isfinite(state.kkt) or float(state.kkt) > 1e10 or (
                 best_kkt < 1.0 and float(state.kkt) > max(1e6 * best_kkt, 1e3)
             ):
                 # divergence guard: adaptive-η PDHG can blow up (SCSD8 in
                 # avg mode reaches KKT ~1e133) — stop burning iterations
+                if variants_left:
+                    _log.info(
+                        "pdlp diverged at it=%d (kkt=%.3e) — restarting "
+                        "with variant=%s", int(state.it), float(state.kkt),
+                        variants_left[0],
+                    )
+                    _switch_variant(warm=False)
+                    continue
                 _log.info(
                     "pdlp diverged at it=%d (kkt=%.3e, best=%.3e) — "
                     "falling back", int(state.it), float(state.kkt), best_kkt,
                 )
                 break
-            if float(state.kkt) < 0.9 * best_kkt:
-                best_kkt, best_it = float(state.kkt), int(state.it)
-            elif (
+            if float(state.kkt) < best_kkt:
+                if float(state.kkt) < 0.9 * best_kkt:
+                    best_it = int(state.it)  # plateau clock resets only on
+                    # beyond-noise progress
+                best_kkt = float(state.kkt)
+                best_xy = (
+                    np.asarray(state.x).copy(), np.asarray(state.y).copy()
+                )
+            if (
                 config.pdlp_plateau > 0
                 and int(state.it) - best_it >= config.pdlp_plateau
             ):
-                if float(state.kkt) <= float(config.pdlp_accept):
+                if best_kkt <= float(config.pdlp_accept):
                     accepted = True
+                    if best_xy is not None:
+                        state = state._replace(
+                            x=jnp.asarray(best_xy[0]),
+                            y=jnp.asarray(best_xy[1]),
+                        )
                     _log.info(
-                        "pdlp plateau at it=%d: accepting kkt=%.3e "
+                        "pdlp plateau at it=%d: accepting best kkt=%.3e "
                         "(tol=%.1e unreached, accept=%.1e)",
-                        int(state.it), float(state.kkt),
+                        int(state.it), best_kkt,
                         float(config.pdlp_tol), float(config.pdlp_accept),
                     )
+                elif variants_left:
+                    _log.info(
+                        "pdlp plateau at it=%d: kkt=%.3e > accept=%.1e — "
+                        "continuing with variant=%s",
+                        int(state.it), float(state.kkt),
+                        float(config.pdlp_accept), variants_left[0],
+                    )
+                    # a stalled-but-sane best point warm-continues; a
+                    # blown-up history restarts clean
+                    _switch_variant(warm=best_kkt < 1e3)
+                    continue
                 else:
                     _log.info(
                         "pdlp plateau at it=%d: kkt=%.3e > accept=%.1e — "
