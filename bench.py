@@ -202,6 +202,11 @@ def main(argv=None) -> int:
         inverse=inverse,
         algorithm=algorithm,
         pdlp_crossover=False if algorithm == "pdlp" else True,
+        # XL tier: the f64 relative-KKT floor sits above 1e-6 on STOCFOR3
+        # (~2.5e-6, where the objective is already within 6e-9 of Koch);
+        # the suite's objective checks are at rel 1e-5, so accept 3e-6
+        # instead of burning the budget in the simplex fallback
+        pdlp_accept=3e-6 if args.suite == "xl" else 1e-6,
     )
     base = "/root/reference/tests/netlib/problem_files"
     paths = [(n, f"{base}/{n}.SIF") for n in names]

@@ -73,6 +73,15 @@ def main(argv=None) -> int:
         "the cuPDLP+ accelerant; avg = classic PDLP average restarts)",
     )
     ap.add_argument(
+        "--pdlp-accept",
+        type=float,
+        default=1e-6,
+        metavar="KKT",
+        help="with --algorithm pdlp: accept a plateaued point whose best "
+        "relative KKT is below this (the f64 floor can sit above "
+        "--pdlp-tol on ill-conditioned XL instances)",
+    )
+    ap.add_argument(
         "--perturb",
         type=float,
         default=0.0,
@@ -134,6 +143,7 @@ def main(argv=None) -> int:
         pdlp_crossover=not args.no_crossover,
         pdlp_matrix=args.pdlp_matrix,
         pdlp_variant=args.pdlp_variant,
+        pdlp_accept=args.pdlp_accept,
     )
 
     t0 = time.perf_counter()

@@ -492,10 +492,10 @@ def solve_computational_form(
         S = abs(csc0).tocsr()
         for _ in range(10):
             rmax = np.asarray(S.max(axis=1).todense()).ravel()
-            rs = np.where(rmax > 0, 1.0 / np.sqrt(rmax), 1.0)
+            rs = 1.0 / np.sqrt(np.where(rmax > 0, rmax, 1.0))
             S = sp.diags(rs) @ S
             cmax = np.asarray(S.max(axis=0).todense()).ravel()
-            cs = np.where(cmax > 0, 1.0 / np.sqrt(cmax), 1.0)
+            cs = 1.0 / np.sqrt(np.where(cmax > 0, cmax, 1.0))
             S = S @ sp.diags(cs)
             d_r[: cf.m] *= rs
             d_c[: cf.n] *= cs
@@ -514,6 +514,15 @@ def solve_computational_form(
         fmt = config.pdlp_matrix
         if fmt == "auto":
             fmt = "ell" if jax.default_backend() == "cpu" else "bricks"
+        # multi-device: the ELL leaves column-shard over the 'cols' mesh
+        # axis (parallel/sharded.py placement — same recipe as the simplex
+        # path); brick tiles mix columns inside a tile, so a mesh request
+        # forces the ELL layout.  Per iteration GSPMD inserts one
+        # all-gather of x for A·x (row-major twin, replicated) and the
+        # KKT/step reductions ride psum — both ICI-friendly.
+        use_mesh = config.mesh_cols not in (0, 1)
+        if use_mesh:
+            fmt = "ell"
         # the brick solve runs in its own (128-multiple) padded, RCM-
         # permuted space; mp/np_ and the pad-extended perms map back
         mp, np_ = m_pad, n_pad
@@ -545,6 +554,20 @@ def solve_computational_form(
             A_s = _device_matrix(
                 _NS(A=csc_s, m=cf.m, n=cf.n), m_pad, n_pad, config
             )
+        if use_mesh:
+            from relp_tpu.parallel.mesh import make_solver_mesh
+            from relp_tpu.parallel.sharded import shard_inputs
+
+            k_dev = (
+                config.mesh_cols if config.mesh_cols > 0 else len(jax.devices())
+            )
+            if n_pad % k_dev == 0 and k_dev <= len(jax.devices()):
+                mesh = make_solver_mesh(
+                    batch=1, cols=k_dev, devices=jax.devices()[:k_dev]
+                )
+                A_s, b_s, c_s, lb_s, ub_s = shard_inputs(
+                    mesh, A_s, b_s, c_s, lb_s, ub_s
+                )
         norm_A = float(jax.jit(_power_norm)(as_amatrix(A_s)))
         if not np.isfinite(norm_A) or norm_A <= 0:
             return None
@@ -568,6 +591,9 @@ def solve_computational_form(
         best_xy = None  # snapshot of the best-KKT point (adaptive PDHG can
         # REGRESS after nearly converging — ω rebalance instability — and
         # the last iterate is then worse than the best one seen)
+        ref_kkt = np.inf  # plateau-clock progress reference: reset on
+        # variant switches so the new scheme gets a full window even when
+        # it has not yet beaten the previous scheme's best
         accepted = False
         # neither restart scheme dominates (halpern converges where avg
         # diverges on SCSD8; avg converges where halpern stalls on
@@ -578,17 +604,17 @@ def solve_computational_form(
         variants_left = [other]
 
         def _switch_variant(warm: bool):
-            nonlocal state, variant, best_kkt, best_it
+            nonlocal state, variant, best_it, ref_kkt
+            ref_kkt = np.inf
             variant = variants_left.pop(0)
             if warm:
-                # continue from the BEST point seen (the last iterate may
-                # have regressed); re-anchor and clear the scheme's restart
-                # bookkeeping (x_sum/steps for avg, kkt_mu = the anchor
-                # residual for halpern)
+                # continue from the CURRENT iterate — it is the algorithm's
+                # natural trajectory (measured: restarting from the lowest-
+                # KKT snapshot sends the new scheme off-course; the snapshot
+                # is kept only for final acceptance); re-anchor and clear
+                # the scheme's restart bookkeeping (x_sum/steps for avg,
+                # kkt_mu = the anchor residual for halpern)
                 x0, y0 = state.x, state.y
-                if best_xy is not None:
-                    x0 = jnp.asarray(best_xy[0])
-                    y0 = jnp.asarray(best_xy[1])
                 ax0 = as_amatrix(A_s).matvec(x0)
                 state = state._replace(
                     x=x0,
@@ -647,16 +673,23 @@ def solve_computational_form(
                 )
                 break
             if float(state.kkt) < best_kkt:
-                if float(state.kkt) < 0.9 * best_kkt:
-                    best_it = int(state.it)  # plateau clock resets only on
-                    # beyond-noise progress
                 best_kkt = float(state.kkt)
                 best_xy = (
                     np.asarray(state.x).copy(), np.asarray(state.y).copy()
                 )
+            if float(state.kkt) < 0.9 * ref_kkt:
+                # beyond-noise progress (relative to the CURRENT scheme's
+                # reference): reset the plateau clock
+                ref_kkt = float(state.kkt)
+                best_it = int(state.it)
+            # plateau window scales with how long progress took so far:
+            # XL-tier instances need hundreds of thousands of iterations,
+            # and a fixed window cuts schemes off mid-convergence (the
+            # same idea as PDLP's artificial restarts at ~0.36·k_total)
+            window = max(int(config.pdlp_plateau), best_it // 2)
             if (
                 config.pdlp_plateau > 0
-                and int(state.it) - best_it >= config.pdlp_plateau
+                and int(state.it) - best_it >= window
             ):
                 if best_kkt <= float(config.pdlp_accept):
                     accepted = True

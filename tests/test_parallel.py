@@ -103,3 +103,22 @@ def test_mesh_cols_with_ell():
     )
     assert res.kind is LinearProgramType.FINITE_OPTIMUM
     assert res.solution.objective_value == pytest.approx(-5.220206121e01, abs=1e-3)
+
+
+def test_mesh_cols_pdlp_path():
+    """config.mesh_cols also routes the FIRST-ORDER engine through the
+    column-sharded placement (driver _run_pdlp use_mesh): ELL leaves over
+    'cols', per-iteration all-gather of x for A·x, psum'd KKT reductions."""
+    from relp_tpu.api import solve
+    from relp_tpu.model.elements import LinearProgramType
+    from tests.conftest import reference_problem
+
+    path = reference_problem("netlib", "SC50B.SIF")
+    res = solve(
+        path,
+        config=SolverConfig(
+            algorithm="pdlp", mesh_cols=4, pdlp_crossover=False
+        ),
+    )
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert res.solution.objective_value == pytest.approx(-70.0, rel=1e-6)
