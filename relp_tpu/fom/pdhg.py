@@ -165,17 +165,17 @@ def solve_pdhg_chunk(
         x1, y1, ax1, acc = lax.fori_loop(
             0, round_len, step, (s.x, s.y, s.ax, s.steps)
         )
-        # restart/evaluation candidate: one extra PDHG application T(z)
-        # (the Halpern iterate z converges too — keep the better of the
-        # two, mirroring avg-mode's current-vs-average choice)
+        # Every round ends on one extra PDHG application T(z): it is the
+        # paper's restart target, it is CLIPPED (the raw Halpern iterate z
+        # need not satisfy the box, and _kkt measures no bound violation),
+        # and installing it unconditionally keeps state.x and state.kkt
+        # describing the SAME point — the driver snapshots state.x at
+        # state.kkt for plateau acceptance, and a mismatch would let it
+        # accept a point whose true KKT exceeds the acceptance bar.
         xT = jnp.clip(x1 - tau * (c - A.rmatvec(y1)), lb, ub)
         axT = A.matvec(xT)
         yT = y1 + sigma * (b - (2.0 * axT - ax1))
-
-        kkt_cur = _kkt(A, b, c, lb, ub, x1, y1)
-        kkt_T = _kkt(A, b, c, lb, ub, xT, yT)
-        use_T = kkt_T < kkt_cur
-        kkt = jnp.minimum(kkt_cur, kkt_T)
+        kkt = _kkt(A, b, c, lb, ub, xT, yT)
 
         # Halpern restart rule (Lu & Yang): sufficient decay of the
         # ω-weighted FIXED-POINT residual ‖T(z)−z‖ vs the anchor's
@@ -185,12 +185,9 @@ def solve_pdhg_chunk(
             + jnp.sum((yT - y1) ** 2) / s.omega
         )
         do_restart = (r_fp < 0.2 * s.kkt_mu) | (acc >= 16 * round_len)
-        x_re = jnp.where(use_T, xT, x1)
-        y_re = jnp.where(use_T, yT, y1)
-        ax_re = jnp.where(use_T, axT, ax1)
 
-        dxn = jnp.linalg.norm(x_re - s.x_anchor)
-        dyn = jnp.linalg.norm(y_re - s.y_anchor)
+        dxn = jnp.linalg.norm(xT - s.x_anchor)
+        dyn = jnp.linalg.norm(yT - s.y_anchor)
         good = do_restart & (dxn > 1e-30) & (dyn > 1e-30)
         omega = jnp.where(
             good,
@@ -200,20 +197,17 @@ def solve_pdhg_chunk(
         )
         omega = jnp.clip(omega, 1e-6, 1e6)
 
-        x_new = jnp.where(do_restart, x_re, x1)
-        y_new = jnp.where(do_restart, y_re, y1)
-        ax_new = jnp.where(do_restart, ax_re, ax1)
         done = kkt < tol
         return PdhgState(
-            x=x_new,
-            y=y_new,
-            ax=ax_new,
+            x=xT,
+            y=yT,
+            ax=axT,
             x_sum=s.x_sum,
             y_sum=s.y_sum,
             steps=jnp.where(do_restart, 0, acc).astype(jnp.int32),
-            x_anchor=jnp.where(do_restart, x_new, s.x_anchor),
-            y_anchor=jnp.where(do_restart, y_new, s.y_anchor),
-            ax_anchor=jnp.where(do_restart, ax_new, s.ax_anchor),
+            x_anchor=jnp.where(do_restart, xT, s.x_anchor),
+            y_anchor=jnp.where(do_restart, yT, s.y_anchor),
+            ax_anchor=jnp.where(do_restart, axT, s.ax_anchor),
             eta=eta,
             omega=omega,
             it=s.it + round_len,
@@ -286,10 +280,18 @@ def solve_pdhg_chunk(
         )
         omega = jnp.clip(omega, 1e-6, 1e6)
 
-        x_new = jnp.where(do_restart, x_re, x1)
-        y_new = jnp.where(do_restart, y_re, y1)
-        ax_out = jnp.where(do_restart & use_avg, A.matvec(x_new), ax1)
         done = kkt < tol
+        # install the better candidate on restart AND on termination, and
+        # report the KKT of the point actually stored — the driver
+        # snapshots state.x at state.kkt (plateau acceptance), so the two
+        # must describe the same point
+        take = do_restart | done
+        x_new = jnp.where(take, x_re, x1)
+        y_new = jnp.where(take, y_re, y1)
+        ax_out = jnp.where(take & use_avg, A.matvec(x_new), ax1)
+        kkt_out = jnp.where(
+            take, kkt, kkt_cur
+        )
         return PdhgState(
             x=x_new,
             y=y_new,
@@ -304,7 +306,7 @@ def solve_pdhg_chunk(
             eta=eta,
             omega=omega,
             it=s.it + round_len,
-            kkt=kkt,
+            kkt=kkt_out,
             kkt_mu=jnp.where(do_restart, kkt, s.kkt_mu),
             status=jnp.where(done, st.OPTIMAL, s.status).astype(jnp.int32),
         )

@@ -59,7 +59,7 @@ class MipResult:
 
 def _gomory_cuts(
     A, x, basis, vstat, art_sign, integer_mask, lb, ub,
-    n_used, max_cuts, int_tol,
+    n_used, max_cuts,
 ):
     """Gomory mixed-integer (GMI) cuts from the optimal tableau.
 
@@ -84,6 +84,9 @@ def _gomory_cuts(
         if k >= n_used or not integer_mask[k]:
             continue
         f0 = x[k] - math.floor(x[k])
+        # SAFETY threshold, deliberately looser than the caller's int_tol:
+        # float-derived cuts from barely-fractional values are numerically
+        # dangerous (the ratio f0/(1-f0) degenerates)
         if f0 < 1e-4 or f0 > 1.0 - 1e-4:
             continue
         cand.append((min(f0, 1.0 - f0), i, k, f0))
@@ -252,7 +255,7 @@ def solve_mip(
         space = min(m_pad - m_used, n_pad - n_used, 16)
         gammas, deltas = _gomory_cuts(
             A, x_r, root.basis, root.vstat, np.asarray(root.art_sign),
-            integer_mask, lb0, ub0, n_used, space, int_tol,
+            integer_mask, lb0, ub0, n_used, space,
         )
         if not gammas:
             break
@@ -350,7 +353,9 @@ def solve_mip(
         # INFEASIBLE only when the search tree was exhausted with every
         # branch resolved; a node/LP-budget stop without an incumbent is
         # an unresolved ITERATION_LIMIT, not a proof
-        proved = complete and not heap and nodes < max_nodes
+        # 'not heap and complete' IS exhaustion — a tree that empties
+        # exactly as nodes reaches max_nodes is still a proof
+        proved = complete and not heap
         return MipResult(
             kind=(
                 LinearProgramType.INFEASIBLE

@@ -72,6 +72,30 @@ def shard_inputs(mesh: Mesh, A, b, c, lb, ub):
     return A, b, c, lb, ub
 
 
+def maybe_shard(mesh_cols: int, n_pad: int, A, b, c, lb, ub):
+    """Resolve a ``config.mesh_cols`` request into a device placement.
+
+    Returns ``(A, b, c, lb, ub, sharded)`` — the single sharding recipe
+    used by both the simplex and the first-order driver paths.  Skips
+    (``sharded=False``, with a log line) when the padded column count is
+    not divisible by the device count or not enough devices exist.
+    """
+    from relp_tpu.parallel.mesh import make_solver_mesh
+    from relp_tpu.utils.metrics import logger
+
+    k_dev = mesh_cols if mesh_cols > 0 else len(jax.devices())
+    if k_dev in (0, 1):
+        return A, b, c, lb, ub, False
+    if n_pad % k_dev != 0 or k_dev > len(jax.devices()):
+        logger.warning(
+            "mesh_cols=%d skipped: n_pad=%d %% %d != 0 or only %d devices",
+            mesh_cols, n_pad, k_dev, len(jax.devices()),
+        )
+        return A, b, c, lb, ub, False
+    mesh = make_solver_mesh(batch=1, cols=k_dev, devices=jax.devices()[:k_dev])
+    return (*shard_inputs(mesh, A, b, c, lb, ub), True)
+
+
 def solve_sharded(mesh: Mesh, A, b, c, lb, ub, cfg: SolverConfig, max_iter: int):
     """Run the standard solve core with column-sharded inputs.
 

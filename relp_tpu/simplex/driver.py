@@ -233,15 +233,11 @@ def solve_computational_form(
     # solve_core program runs with the column pool placed over the mesh's
     # 'cols' axis; GSPMD inserts the pricing argmax/gather collectives. ----
     if config.mesh_cols not in (0, 1):
-        from relp_tpu.parallel.mesh import make_solver_mesh
-        from relp_tpu.parallel.sharded import shard_inputs
+        from relp_tpu.parallel.sharded import maybe_shard
 
-        k_dev = config.mesh_cols if config.mesh_cols > 0 else len(jax.devices())
-        if n_pad % k_dev == 0 and k_dev <= len(jax.devices()):
-            mesh = make_solver_mesh(
-                batch=1, cols=k_dev, devices=jax.devices()[:k_dev]
-            )
-            A, b, c, lb, ub = shard_inputs(mesh, A, b, c, lb, ub)
+        A, b, c, lb, ub, _ = maybe_shard(
+            config.mesh_cols, n_pad, A, b, c, lb, ub
+        )
 
     # Long solves run as bounded device calls continued via warm start:
     # a single uninterrupted device execution beyond ~1 minute risks the
@@ -517,10 +513,23 @@ def solve_computational_form(
         # multi-device: the ELL leaves column-shard over the 'cols' mesh
         # axis (parallel/sharded.py placement — same recipe as the simplex
         # path); brick tiles mix columns inside a tile, so a mesh request
-        # forces the ELL layout.  Per iteration GSPMD inserts one
-        # all-gather of x for A·x (row-major twin, replicated) and the
-        # KKT/step reductions ride psum — both ICI-friendly.
+        # forces the ELL layout — but only when sharding will actually
+        # happen (an indivisible n_pad or too few devices must not
+        # silently downgrade the TPU-fast brick layout).  Per iteration
+        # GSPMD inserts one all-gather of x for A·x (row-major twin,
+        # replicated) and the KKT/step reductions ride psum.
         use_mesh = config.mesh_cols not in (0, 1)
+        if use_mesh:
+            k_dev = (
+                config.mesh_cols if config.mesh_cols > 0 else len(jax.devices())
+            )
+            use_mesh = n_pad % k_dev == 0 and k_dev <= len(jax.devices())
+            if not use_mesh:
+                _log.warning(
+                    "pdlp mesh_cols=%d skipped (n_pad=%d, %d devices) — "
+                    "keeping layout %s",
+                    config.mesh_cols, n_pad, len(jax.devices()), fmt,
+                )
         if use_mesh:
             fmt = "ell"
         # the brick solve runs in its own (128-multiple) padded, RCM-
@@ -555,19 +564,11 @@ def solve_computational_form(
                 _NS(A=csc_s, m=cf.m, n=cf.n), m_pad, n_pad, config
             )
         if use_mesh:
-            from relp_tpu.parallel.mesh import make_solver_mesh
-            from relp_tpu.parallel.sharded import shard_inputs
+            from relp_tpu.parallel.sharded import maybe_shard
 
-            k_dev = (
-                config.mesh_cols if config.mesh_cols > 0 else len(jax.devices())
+            A_s, b_s, c_s, lb_s, ub_s, _ = maybe_shard(
+                config.mesh_cols, n_pad, A_s, b_s, c_s, lb_s, ub_s
             )
-            if n_pad % k_dev == 0 and k_dev <= len(jax.devices()):
-                mesh = make_solver_mesh(
-                    batch=1, cols=k_dev, devices=jax.devices()[:k_dev]
-                )
-                A_s, b_s, c_s, lb_s, ub_s = shard_inputs(
-                    mesh, A_s, b_s, c_s, lb_s, ub_s
-                )
         norm_A = float(jax.jit(_power_norm)(as_amatrix(A_s)))
         if not np.isfinite(norm_A) or norm_A <= 0:
             return None

@@ -180,3 +180,25 @@ def test_pdlp_kennington(name, expected):
     )
     assert res.kind is LinearProgramType.FINITE_OPTIMUM
     assert res.solution.objective_value == pytest.approx(expected, rel=1e-5)
+
+
+def test_pdlp_plateau_accepts_best_point():
+    """The driver's plateau machinery (driver._run_pdlp): with an
+    unreachable tol, a 1-iteration plateau window and a loose acceptance
+    bar, the solve must stop early and return the BEST point seen (whose
+    KKT matches state.x — fom/pdhg.py installs the evaluated candidate)."""
+    from relp_tpu.api import solve
+
+    res = solve(
+        reference_problem("netlib", "SC50B.SIF"),
+        config=SolverConfig(
+            algorithm="pdlp",
+            pdlp_crossover=False,
+            pdlp_tol=1e-300,   # unreachable: forces the plateau path
+            pdlp_plateau=1,
+            pdlp_accept=1e-4,
+        ),
+    )
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    # a 1e-4 relative-KKT point on SC50B is well inside 1e-3 objective
+    assert res.solution.objective_value == pytest.approx(-70.0, rel=1e-3)
