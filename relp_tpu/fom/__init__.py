@@ -11,4 +11,7 @@ cannot express iterative convergence) — this is a beyond-reference
 capability chosen *because* of the hardware.
 """
 
-from relp_tpu.fom.pdhg import solve_pdhg_chunk  # noqa: F401
+from relp_tpu.fom.pdhg import (  # noqa: F401
+    solve_pdhg_batched,
+    solve_pdhg_chunk,
+)

@@ -325,6 +325,38 @@ def solve_pdhg_chunk(
     return final
 
 
+def solve_pdhg_batched(
+    A, b, c, lb, ub,
+    round_len: int = 64, max_rounds: int = 256, tol: float = 1e-8,
+    variant: str = "halpern", mesh=None,
+):
+    """Solve a STACK of same-shape box-constrained LPs with restarted PDHG
+    (first-order analogue of :func:`relp_tpu.parallel.batched.solve_batched`):
+    every input has a leading scenario axis, the whole chunk is vmapped,
+    and with a mesh the scenario axis is sharded over 'batch'.  Returns the
+    final stacked :class:`PdhgState` (statuses are per-scenario)."""
+    import numpy as np
+
+    arrays = [np.asarray(v, np.float64) for v in (A, b, c, lb, ub)]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch = NamedSharding(mesh, P("batch"))
+        arrays = [jax.device_put(v, batch) for v in arrays]
+    A, b, c, lb, ub = arrays
+
+    def one(A, b, c, lb, ub):
+        eta0 = 0.9 / _power_norm(A)
+        s = initial_state(A, lb, ub, eta0)
+        return solve_pdhg_chunk(
+            A, b, c, lb, ub, s,
+            round_len=round_len, max_rounds=max_rounds, tol=tol,
+            variant=variant,
+        )
+
+    return jax.jit(jax.vmap(one))(A, b, c, lb, ub)
+
+
 def initial_state(A, lb, ub, eta0, dtype=jnp.float64) -> PdhgState:
     A = as_amatrix(A)
     m, n = A.shape

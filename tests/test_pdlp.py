@@ -202,3 +202,24 @@ def test_pdlp_plateau_accepts_best_point():
     assert res.kind is LinearProgramType.FINITE_OPTIMUM
     # a 1e-4 relative-KKT point on SC50B is well inside 1e-3 objective
     assert res.solution.objective_value == pytest.approx(-70.0, rel=1e-3)
+
+
+def test_pdhg_batched_scenarios():
+    """solve_pdhg_batched: a vmapped scenario fleet (the DP analogue for
+    the first-order engine) — each scenario converges to its own b."""
+    import jax.numpy as jnp
+
+    from relp_tpu.fom.pdhg import solve_pdhg_batched
+    from relp_tpu.simplex import status as st
+
+    # min -x1-x2 s.t. x1+x2 = b_s, 0 <= x <= 1, for three b values
+    bs = np.array([0.5, 1.0, 1.5])
+    A = np.tile(np.array([[1.0, 1.0]]), (3, 1, 1))
+    b = bs.reshape(3, 1)
+    c = np.tile(np.array([-1.0, -1.0]), (3, 1))
+    lb = np.zeros((3, 2))
+    ub = np.ones((3, 2))
+    out = solve_pdhg_batched(A, b, c, lb, ub, tol=1e-8)
+    assert np.all(np.asarray(out.status) == st.OPTIMAL)
+    x = np.asarray(out.x)
+    np.testing.assert_allclose(x.sum(axis=1), bs, atol=1e-6)
