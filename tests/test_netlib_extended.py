@@ -50,8 +50,21 @@ EXTENDED_SLOW = [
 #     XL bench tier on TPU instead.  KEN-11/PDS-02/PDS-06/CRE-A/CRE-B —
 #     Kennington-scale, CPU-impractical; parse-verified.
 SKIP_LISTED = [
-    "QAP8", "QAP12", "QAP15", "D2Q06C", "DEGEN3", "STOCFOR2", "CRE-C",
-    "KEN-11", "PDS-02", "PDS-06", "CRE-A",
+    "QAP12", "QAP15", "D2Q06C",
+    "KEN-11", "PDS-02", "PDS-06", "CRE-A", "CRE-C",
+]
+
+# Former skip-listed instances the FIRST-ORDER engine makes tractable on
+# the CPU backend (simplex probes exceeded a 15-minute budget; QAP8's
+# assignment-polytope degeneracy needs ~1e5 HiGHS iterations — PDHG walks
+# through it in 2816 iterations / 1.6 s).  Expected objectives: Koch,
+# "The final Netlib-LP results".
+PDLP_RESCUED = [
+    ("STOCFOR2", -3.9024408538e4),          # 3.5 s CPU
+    ("QAP8", 2.0350000000e2),               # 1.6 s CPU
+]
+PDLP_RESCUED_SLOW = [
+    ("DEGEN3", -9.8729400000e2),            # ~130 s CPU
 ]
 
 
@@ -110,3 +123,33 @@ def test_skip_listed_parses(name):
         pytest.skip(f"{name} not vendored")
     gf = import_lp(path)
     assert gf.nr_constraints > 0 and gf.nr_variables > 0
+
+
+def _check_pdlp(name, expected):
+    path = os.path.join(REFERENCE_DATA, "netlib", "problem_files", f"{name}.SIF")
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not vendored")
+    res = solve_general_form(
+        import_lp(path),
+        SolverConfig(
+            algorithm="pdlp", pdlp_crossover=False, pdlp_accept=3e-6,
+            max_iter=1_500_000,
+        ),
+    )
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM, (name, res.kind)
+    assert res.solution.objective_value == pytest.approx(
+        expected, abs=1e-5 * (1 + abs(expected))
+    ), name
+
+
+@pytest.mark.netlib
+@pytest.mark.parametrize("name,expected", PDLP_RESCUED)
+def test_pdlp_rescued(name, expected):
+    _check_pdlp(name, expected)
+
+
+@pytest.mark.netlib
+@pytest.mark.slow
+@pytest.mark.parametrize("name,expected", PDLP_RESCUED_SLOW)
+def test_pdlp_rescued_slow(name, expected):
+    _check_pdlp(name, expected)
