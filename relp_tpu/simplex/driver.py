@@ -495,6 +495,17 @@ def solve_computational_form(
             S = S @ sp.diags(cs)
             d_r[: cf.m] *= rs
             d_c[: cf.n] *= cs
+        # one Pock–Chambolle (α=1) pass on top of Ruiz — the cuPDLP
+        # scaling recipe: D_r = diag(1/√‖a_i·‖₁), D_c = diag(1/√‖a_·j‖₁)
+        if config.pdlp_scale == "ruiz+pc":
+            r1 = np.asarray(abs(S).sum(axis=1)).ravel()
+            rs = 1.0 / np.sqrt(np.where(r1 > 0, r1, 1.0))
+            S = sp.diags(rs) @ S
+            c1 = np.asarray(abs(S).sum(axis=0)).ravel()
+            cs = 1.0 / np.sqrt(np.where(c1 > 0, c1, 1.0))
+            S = S @ sp.diags(cs)
+            d_r[: cf.m] *= rs
+            d_c[: cf.n] *= cs
         csc_s = sp.diags(d_r[: cf.m]) @ csc0 @ sp.diags(d_c[: cf.n])
         from types import SimpleNamespace as _NS
 

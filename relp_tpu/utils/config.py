@@ -170,6 +170,10 @@ class SolverConfig:
     # accelerant, restarts to T(z)); "avg" = classic PDLP running-average
     # restarts (fom/pdhg.py docstring)
     pdlp_variant: str = "halpern"
+    # rescaling before the first-order solve: "ruiz" = 10 ∞-norm Ruiz
+    # passes; "ruiz+pc" adds one Pock–Chambolle (α=1) 1-norm pass on top
+    # (the cuPDLP recipe)
+    pdlp_scale: str = "ruiz+pc"
     # After PDLP certifies its KKT tolerance, warm-start the primal
     # simplex from a basis guess at the first-order point (near-bound
     # variables snapped nonbasic, the m most interior basic) to recover
