@@ -697,8 +697,13 @@ def solve_computational_form(
             # plateau window scales with how long progress took so far:
             # XL-tier instances need hundreds of thousands of iterations,
             # and a fixed window cuts schemes off mid-convergence (the
-            # same idea as PDLP's artificial restarts at ~0.36·k_total)
+            # same idea as PDLP's artificial restarts at ~0.36·k_total).
+            # Once the best point already MEETS the acceptance bar, the
+            # fixed window applies — further iterations only polish, and
+            # a long adaptive window just delays the accept
             window = max(int(config.pdlp_plateau), best_it // 2)
+            if best_kkt <= float(config.pdlp_accept):
+                window = int(config.pdlp_plateau)
             if (
                 config.pdlp_plateau > 0
                 and int(state.it) - best_it >= window
