@@ -49,22 +49,32 @@ EXTENDED_SLOW = [
 #     probe budget under contention; DFL001/STOCFOR3 are asserted in the
 #     XL bench tier on TPU instead.  KEN-11/PDS-02/PDS-06/CRE-A/CRE-B —
 #     Kennington-scale, CPU-impractical; parse-verified.
+# The only vendored instance without an asserted objective anywhere:
+# D2Q06C stalls at relative KKT ~1e-3 under both PDHG restart schemes
+# (ill-conditioned even after Ruiz+PC scaling) and its simplex solve
+# exceeded a 15-minute CPU probe; it parses cleanly.  (KEN-11/PDS-02/
+# PDS-06/CRE-A are asserted in test_pdlp.py::test_pdlp_kennington;
+# everything else is asserted here, in test_netlib_suite.py, or in
+# test_pdlp.py — 103/104 vendored files.)
 SKIP_LISTED = [
-    "QAP12", "QAP15", "D2Q06C",
-    "KEN-11", "PDS-02", "PDS-06", "CRE-A", "CRE-C",
+    "D2Q06C",
 ]
 
 # Former skip-listed instances the FIRST-ORDER engine makes tractable on
 # the CPU backend (simplex probes exceeded a 15-minute budget; QAP8's
 # assignment-polytope degeneracy needs ~1e5 HiGHS iterations — PDHG walks
-# through it in 2816 iterations / 1.6 s).  Expected objectives: Koch,
-# "The final Netlib-LP results".
+# through it in 2816 iterations / 1.6 s, and with Pock–Chambolle scaling
+# QAP12/QAP15 follow).  Expected objectives: Koch, "The final Netlib-LP
+# results".
 PDLP_RESCUED = [
     ("STOCFOR2", -3.9024408538e4),          # 3.5 s CPU
     ("QAP8", 2.0350000000e2),               # 1.6 s CPU
+    ("QAP12", 5.2289435056e2),              # 10 s CPU
 ]
 PDLP_RESCUED_SLOW = [
     ("DEGEN3", -9.8729400000e2),            # ~130 s CPU
+    ("QAP15", 1.0409940410e3),              # ~140 s CPU
+    ("CRE-C", 2.5275116141e7),              # ~120 s CPU
 ]
 
 
