@@ -49,15 +49,18 @@ EXTENDED_SLOW = [
 #     probe budget under contention; DFL001/STOCFOR3 are asserted in the
 #     XL bench tier on TPU instead.  KEN-11/PDS-02/PDS-06/CRE-A/CRE-B —
 #     Kennington-scale, CPU-impractical; parse-verified.
-# The only vendored instance without an asserted objective anywhere:
-# D2Q06C stalls at relative KKT ~1e-3 under both PDHG restart schemes
-# (ill-conditioned even after Ruiz+PC scaling) and its simplex solve
-# exceeded a 15-minute CPU probe; it parses cleanly.  (KEN-11/PDS-02/
-# PDS-06/CRE-A are asserted in test_pdlp.py::test_pdlp_kennington;
-# everything else is asserted here, in test_netlib_suite.py, or in
-# test_pdlp.py — 103/104 vendored files.)
-SKIP_LISTED = [
-    "D2Q06C",
+# With D2Q06C below, EVERY vendored Netlib file (104/104) asserts an
+# objective somewhere: here, test_netlib_suite.py, or test_pdlp.py
+# (KEN-11/PDS-02/PDS-06/CRE-A live in test_pdlp_kennington).
+SKIP_LISTED: list = []
+
+# D2Q06C defeats both PDHG restart schemes (stalls at relative KKT ~1e-3
+# even after Ruiz+PC scaling) and the unperturbed simplex exceeded a
+# 15-minute CPU probe — but anti-degeneracy bound perturbation
+# (config.perturb, the DEGEN3 medicine) solves it: 15,209 iterations,
+# objective rel err 3.9e-8 vs Koch (~27 min on the CPU backend).
+PERTURB_RESCUED_SLOW = [
+    ("D2Q06C", 1.2278421081e5),
 ]
 
 # Former skip-listed instances the FIRST-ORDER engine makes tractable on
@@ -163,3 +166,17 @@ def test_pdlp_rescued(name, expected):
 @pytest.mark.parametrize("name,expected", PDLP_RESCUED_SLOW)
 def test_pdlp_rescued_slow(name, expected):
     _check_pdlp(name, expected)
+
+
+@pytest.mark.netlib
+@pytest.mark.slow
+@pytest.mark.parametrize("name,expected", PERTURB_RESCUED_SLOW)
+def test_perturb_rescued_slow(name, expected):
+    path = os.path.join(REFERENCE_DATA, "netlib", "problem_files", f"{name}.SIF")
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not vendored")
+    res = solve_general_form(import_lp(path), SolverConfig(perturb=1e-7))
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM, (name, res.kind)
+    assert res.solution.objective_value == pytest.approx(
+        expected, abs=1e-5 * (1 + abs(expected))
+    ), name
