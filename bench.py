@@ -182,6 +182,28 @@ def main(argv=None) -> int:
     )
     args = ap.parse_args(argv)
 
+    # Backend health gate: the remote TPU tunnel can wedge such that
+    # backend *initialization* hangs forever (observed 2026-08-18: even
+    # jax.devices() blocked >9 min).  Probe it in a subprocess under a
+    # timeout BEFORE this process binds to the backend; fall back to the
+    # CPU backend rather than hanging the whole bench run.
+    import os
+    import subprocess
+
+    if not os.environ.get("RELP_TPU_PLATFORM"):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                capture_output=True, timeout=240, text=True,
+            )
+            alive = probe.returncode == 0 and "ok" in probe.stdout
+        except subprocess.TimeoutExpired:
+            alive = False
+        if not alive:
+            print("# accelerator backend unhealthy — benching on CPU",
+                  file=sys.stderr)
+            os.environ["RELP_TPU_PLATFORM"] = "cpu"
     import relp_tpu  # noqa: F401
     from relp_tpu.io import import_lp
     from relp_tpu.model.elements import LinearProgramType
