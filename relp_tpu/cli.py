@@ -188,6 +188,11 @@ def main(argv=None) -> int:
                     else None
                 )
                 simplex = None
+                mip_info = {
+                    "nodes": mip.nodes,
+                    "lp_iterations": mip.lp_iterations,
+                    "best_bound": mip.best_bound,
+                }
 
             res = _R()
         else:
@@ -205,6 +210,8 @@ def main(argv=None) -> int:
                 payload["values"] = dict(res.solution.solution_values)
         if res.simplex is not None:
             payload["iterations"] = res.simplex.iterations
+        if getattr(res, "mip_info", None):
+            payload.update(res.mip_info)
         print(json.dumps(payload))
         return 0 if res.kind is LinearProgramType.FINITE_OPTIMUM else 1
 
