@@ -41,7 +41,19 @@ def write_mps(general: GeneralForm) -> str:
 
     lines.append("COLUMNS")
     csc = general.A.tocsc()
+    from relp_tpu.model.elements import VariableType
+
+    in_int = False  # INTORG/INTEND marker state — integrality must
+    # survive the roundtrip or an exported MIP silently becomes an LP
     for j, var in enumerate(general.variables):
+        is_int = var.variable_type is VariableType.INTEGER
+        if is_int != in_int:
+            marker = "INTORG" if is_int else "INTEND"
+            lines.append(
+                f"    MARKER                 'MARKER'                 "
+                f"'{marker}'"
+            )
+            in_int = is_int
         pairs = []
         if var.cost != 0.0:
             pairs.append(("COST", var.cost))
@@ -58,6 +70,10 @@ def write_mps(general: GeneralForm) -> str:
             chunk = pairs[k : k + 2]
             body = "   ".join(f"{rn:<10}{_num(v):>15}" for rn, v in chunk)
             lines.append(f"    {var.name:<10}{body}")
+    if in_int:
+        lines.append(
+            "    MARKER                 'MARKER'                 'INTEND'"
+        )
 
     lines.append("RHS")
     if general.fixed_cost != 0.0:

@@ -64,6 +64,37 @@ def test_roundtrip_preserves_optimum():
     )
 
 
+def test_roundtrip_preserves_integrality():
+    """INTORG/INTEND markers must survive write→parse so an exported MIP
+    stays a MIP (advisor-adjacent writer hole)."""
+    from relp_tpu.model.elements import (
+        Objective, RangedConstraintRelation, VariableType,
+    )
+    from relp_tpu.model.general_form import GeneralForm, Variable
+    import scipy.sparse as sp
+
+    gf = GeneralForm(
+        objective=Objective.MINIMIZE,
+        A=sp.csc_matrix(np.array([[1.0, 1.0, 1.0, 1.0]])),
+        constraint_types=[RangedConstraintRelation.greater()],
+        b=np.array([2.0]),
+        variables=[
+            Variable("c0", cost=1.0, lower=0.0, upper=INF),
+            Variable("i0", cost=2.0, lower=0.0, upper=10.0,
+                     variable_type=VariableType.INTEGER),
+            Variable("i1", cost=3.0, lower=0.0, upper=1.0,
+                     variable_type=VariableType.INTEGER),
+            Variable("c1", cost=0.5, lower=0.0, upper=5.0),
+        ],
+        row_names=["R1"],
+    )
+    gf2 = roundtrip(gf)
+    assert_models_equal(gf, gf2)
+    assert [v.variable_type for v in gf2.variables] == [
+        v.variable_type for v in gf.variables
+    ]
+
+
 def test_roundtrip_negative_and_free_bounds():
     from relp_tpu.model.elements import Objective, RangedConstraintRelation
     from relp_tpu.model.general_form import GeneralForm, Variable
