@@ -126,6 +126,12 @@ def main(argv=None) -> int:
         default="dse",
         help="dual row weights (devex skips the per-pivot B⁻¹ matvec)",
     )
+    ap.add_argument(
+        "--ranging",
+        action="store_true",
+        help="post-optimal sensitivity ranging (cost and rhs intervals "
+        "over which the optimal basis stays valid)",
+    )
     args = ap.parse_args(argv)
 
     config = SolverConfig(
@@ -202,6 +208,27 @@ def main(argv=None) -> int:
         return 2
     dt = time.perf_counter() - t0
 
+    rng = None
+    if (
+        args.ranging
+        and res.kind is LinearProgramType.FINITE_OPTIMUM
+        and getattr(res, "cf", None) is not None
+        and getattr(res, "simplex", None) is not None
+        and res.simplex.basis is not None
+    ):
+        from relp_tpu.analysis import ranging as _ranging
+
+        try:
+            rng = _ranging(res.cf, res.simplex, row_names=general.row_names)
+        except ValueError as e:
+            print(f"ranging unavailable: {e}", file=sys.stderr)
+    elif args.ranging:
+        print(
+            "ranging unavailable: no simplex basis (presolved away, "
+            "non-optimal, or first-order solve without crossover)",
+            file=sys.stderr,
+        )
+
     if args.json:
         payload = {"status": res.kind.value, "wall_s": round(dt, 4)}
         if res.solution is not None:
@@ -212,6 +239,25 @@ def main(argv=None) -> int:
             payload["iterations"] = res.simplex.iterations
         if getattr(res, "mip_info", None):
             payload.update(res.mip_info)
+        if rng is not None:
+            fin = lambda v: v if abs(v) != float("inf") else None  # noqa: E731
+            payload["ranging"] = {
+                "cost": {
+                    r.name: {
+                        "value": r.value, "cost": r.cost,
+                        "lo": fin(r.lo), "hi": fin(r.hi),
+                        "reduced_cost": r.reduced_cost, "basic": r.basic,
+                    }
+                    for r in rng.cost
+                },
+                "rhs": {
+                    r.name: {
+                        "rhs": r.rhs, "lo": fin(r.lo), "hi": fin(r.hi),
+                        "dual": r.dual,
+                    }
+                    for r in rng.rhs
+                },
+            }
         print(json.dumps(payload))
         return 0 if res.kind is LinearProgramType.FINITE_OPTIMUM else 1
 
@@ -227,6 +273,20 @@ def main(argv=None) -> int:
                 f"iters/s {res.simplex.iterations / max(dt, 1e-9):.1f}",
                 file=sys.stderr,
             )
+        if rng is not None:
+            print("cost ranging (name: value  cost in [lo, hi]  rc):")
+            for r in rng.cost:
+                print(
+                    f"  {r.name}: {r.value:.6g}  {r.cost:.6g} in "
+                    f"[{r.lo:.6g}, {r.hi:.6g}]  rc={r.reduced_cost:.6g}"
+                    f"{'  (basic)' if r.basic else ''}"
+                )
+            print("rhs ranging (row: rhs in [lo, hi]  dual):")
+            for r in rng.rhs:
+                print(
+                    f"  {r.name}: {r.rhs:.6g} in [{r.lo:.6g}, {r.hi:.6g}]  "
+                    f"dual={r.dual:.6g}"
+                )
         if args.verify:
             from relp_tpu.numerics.exact import ExactVerifier
 

@@ -45,6 +45,12 @@ class SimplexResult:
     trace: Optional[np.ndarray] = None  # (iters, 8) per-iteration stream
     #                                     (config.trace_iters; see core.State)
     check_violation: float = 0.0  # worst periodic-invariant violation
+    # final basis state (padded cf space; None when the solve never reached
+    # the device or the first-order engine returned no vertex) — consumed by
+    # checkpointing, reoptimization, and analysis.ranging
+    basis: Optional[np.ndarray] = None     # i32[m_pad] basis columns
+    vstat: Optional[np.ndarray] = None     # i32[n_pad+m_pad] statuses
+    art_sign: Optional[np.ndarray] = None  # f64[m_pad] artificial signs
 
     @property
     def is_optimal(self) -> bool:
@@ -766,6 +772,7 @@ def solve_computational_form(
             art_sign=np.ones(m_pad),
             trace=np.zeros((0, 8), np.float32),
             viol=np.float64(float(state.kkt)),
+            vertex=False,  # first-order point: basis/vstat are placeholders
         )
 
     def _run_dual_chunked(t):
@@ -980,6 +987,12 @@ def solve_computational_form(
         trace=trace_arr,
         check_violation=worst_viol,
     )
+    if getattr(out, "vertex", True):
+        # expose the final basis state for checkpointing/reoptimization
+        # and post-optimal ranging (analysis/ranging.py)
+        result.basis = np.asarray(out.basis)
+        result.vstat = np.asarray(out.vstat)
+        result.art_sign = np.asarray(out.art_sign)
     if kind is LinearProgramType.FINITE_OPTIMUM:
         x_scaled = np.asarray(out.x)[:n]
         result.objective = cf.objective_of(x_scaled)
@@ -1118,7 +1131,7 @@ def solve_general_form(
     )
     res = solve_computational_form(cf, config, warm_start_builder=builder)
     if not res.is_optimal:
-        return GeneralFormResult(kind=res.kind, simplex=res)
+        return GeneralFormResult(kind=res.kind, simplex=res, cf=cf)
 
     reduced: Dict[str, float] = {
         v.name: float(res.x_structural[j]) for j, v in enumerate(general.variables)
@@ -1127,7 +1140,8 @@ def solve_general_form(
     # Use the (sense-adjusted) device objective, which includes fixed cost.
     solution.objective_value = res.objective
     return GeneralFormResult(
-        kind=LinearProgramType.FINITE_OPTIMUM, solution=solution, simplex=res
+        kind=LinearProgramType.FINITE_OPTIMUM, solution=solution, simplex=res,
+        cf=cf,
     )
 
 
@@ -1136,6 +1150,9 @@ class GeneralFormResult:
     kind: LinearProgramType
     solution: Optional[Solution] = None
     simplex: Optional[SimplexResult] = None
+    # the lowered problem the device solved (None when presolve finished
+    # the job) — lets analysis.ranging run off the returned basis
+    cf: Optional[object] = None
 
 
 def solve_general_forms_batched(
@@ -1227,12 +1244,13 @@ def solve_general_forms_batched(
 
 def _finish_general(general: GeneralForm, cf, res: SimplexResult) -> GeneralFormResult:
     if not res.is_optimal:
-        return GeneralFormResult(kind=res.kind, simplex=res)
+        return GeneralFormResult(kind=res.kind, simplex=res, cf=cf)
     reduced = {
         v.name: float(res.x_structural[j]) for j, v in enumerate(general.variables)
     }
     solution = general.compute_full_solution(reduced)
     solution.objective_value = res.objective
     return GeneralFormResult(
-        kind=LinearProgramType.FINITE_OPTIMUM, solution=solution, simplex=res
+        kind=LinearProgramType.FINITE_OPTIMUM, solution=solution, simplex=res,
+        cf=cf,
     )
