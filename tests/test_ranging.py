@@ -230,6 +230,28 @@ def test_rhs_ranging_slope_is_dual(random_lp):
     assert checked >= 3
 
 
+@pytest.mark.parametrize("name", ["SC50A", "ADLITTLE", "BLEND", "SHARE2B"])
+def test_netlib_ranges_bracket_current_data(name):
+    # bracket + dual-consistency invariants must hold on real (scaled,
+    # presolved, degenerate) instances, not just textbook LPs
+    from relp_tpu.io import import_lp
+
+    general = import_lp(
+        f"/root/reference/tests/netlib/problem_files/{name}.SIF"
+    )
+    res = solve_general_form(general, CFG)
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    r = ranging(res.cf, res.simplex, row_names=general.row_names)
+    assert len(r.rhs) == res.cf.m
+    for cr in r.cost:
+        assert cr.lo <= cr.cost + 1e-7 and cr.cost - 1e-7 <= cr.hi, cr.name
+    for i, rr in enumerate(r.rhs):
+        assert rr.lo <= rr.rhs + 1e-7 and rr.rhs - 1e-7 <= rr.hi, rr.name
+        assert rr.dual == pytest.approx(
+            float(res.simplex.duals[i]), abs=1e-7
+        )
+
+
 def test_cli_ranging_json(tmp_path):
     import json
     import subprocess
