@@ -32,6 +32,21 @@ def test_miplib_30n20b8_relaxation():
     assert res.solution.objective_value == pytest.approx(43.33557298, abs=1e-3)
 
 
+def test_miplib_acctight4_relaxation_pdlp():
+    # the reference #[ignore]s this as "Too computationally expensive"
+    # (tests/miplib/test.rs test_acc; GLPK optimum 0).  The default
+    # simplex path needs >9 min on CPU, but the first-order engine
+    # solves the relaxation in ~2 s — the capability-tier point of PDLP.
+    from relp_tpu.utils.config import SolverConfig
+
+    res = solve(
+        reference_problem("miplib", "acc-tight4.mps"),
+        SolverConfig(algorithm="pdlp", pdlp_crossover=False),
+    )
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert res.solution.objective_value == pytest.approx(0.0, abs=1e-3)
+
+
 def test_cook_small_example():
     """The reference asserts -243/4 here (tests/cook/test.rs) — but that
     value is an artifact of its parser reading at most two (row, value)
