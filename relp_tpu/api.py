@@ -18,3 +18,19 @@ from relp_tpu.utils.config import DEFAULT_CONFIG, SolverConfig
 def solve(path: Union[str, os.PathLike], config: SolverConfig = DEFAULT_CONFIG) -> GeneralFormResult:
     general = import_lp(path)
     return solve_general_form(general, config)
+
+
+def ranging_of(result: GeneralFormResult):
+    """Sensitivity ranging for a finished :func:`solve` result.
+
+    Returns :class:`relp_tpu.analysis.RangingResult` (cost and rhs
+    intervals over which the optimal basis stays valid, with reduced
+    costs and dual slopes).  Raises ValueError when the result carries no
+    vertex basis (presolved away, non-optimal, or a first-order solve
+    without crossover).
+    """
+    from relp_tpu.analysis import ranging
+
+    if result.cf is None or result.simplex is None:
+        raise ValueError("result carries no device solve to range over")
+    return ranging(result.cf, result.simplex)

@@ -252,6 +252,14 @@ def test_netlib_ranges_bracket_current_data(name):
         )
 
 
+def test_api_ranging_of():
+    from relp_tpu.api import ranging_of, solve
+
+    res = solve("/root/reference/tests/burkardt/problem_files/testprob.mps")
+    r = ranging_of(res)
+    assert r.cost and r.rhs
+
+
 def test_cli_ranging_json(tmp_path):
     import json
     import subprocess
