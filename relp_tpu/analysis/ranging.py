@@ -50,6 +50,8 @@ class CostRange:
     hi: float           # largest coefficient keeping this basis optimal
     reduced_cost: float  # original-sense reduced cost (0 for basic)
     basic: bool
+    computed: bool = True  # False: range skipped (problem above dense_limit),
+    # NOT a genuine (-inf, +inf) — callers must check before trusting lo/hi
 
 
 @dataclass
@@ -75,7 +77,7 @@ class RangingResult:
         return {r.name: r for r in self.rhs}
 
 
-def _basis_in_cf_space(cf, basis, art_sign, n_pad):
+def _basis_in_cf_space(cf, basis, n_pad):
     """Map padded basis slots to real-row basis columns.
 
     Padded rows are all-zero with b=0, so their artificials never leave the
@@ -110,10 +112,12 @@ def ranging(cf, result, row_names: Optional[List[str]] = None,
     """Compute cost and rhs ranging from a finished optimal solve.
 
     ``cf`` is the ComputationalForm the solve ran on; ``result`` is its
-    SimplexResult (must be optimal and carry ``basis``/``vstat``).  When
-    m*n exceeds ``dense_limit``, basic-variable cost ranging (which needs
-    rows of B^-1 A) is skipped and reported as (-inf, +inf) with
-    ``basic=True`` so callers can tell it was not computed.
+    SimplexResult (must be optimal and carry ``basis``/``vstat``).  Two
+    size gates share ``dense_limit``: when m*m exceeds it, the dense B^-1
+    is not formed (rhs ranging falls back to per-row LU solves); when m*m
+    or m*n exceeds it, basic-variable cost ranging (which needs rows of
+    B^-1 A) is skipped and those entries carry ``computed=False`` — their
+    (lo, hi) is a placeholder, not a genuine unbounded range.
     """
     if not result.is_optimal:
         raise ValueError("ranging requires an optimal result")
@@ -133,7 +137,7 @@ def ranging(cf, result, row_names: Optional[List[str]] = None,
     )
     sigma = -1.0 if cf.maximize else 1.0
 
-    kinds = _basis_in_cf_space(cf, basis, art_sign, n_pad)
+    kinds = _basis_in_cf_space(cf, basis, n_pad)
     cols = []
     cB = np.zeros(m)
     basic_slot_of_col: Dict[int, int] = {}
@@ -195,10 +199,14 @@ def ranging(cf, result, row_names: Optional[List[str]] = None,
         cj = float(cf._orig_cost[j])
         Cj = float(cf.col_scale[j])
         s = int(vs[j])
+        computed = True
         if s == st.BASIC:
             k = basic_slot_of_col.get(j)
             if W is None or k is None:
+                # range not computed (size gate, or basis/vstat mismatch) —
+                # flagged so callers can't mistake it for a genuine (-inf,inf)
                 lo_s, hi_s = -INF, INF
+                computed = False
             else:
                 w = np.asarray(W[:, k]).ravel()  # d_i - delta * w_i
                 lo_s, hi_s = -INF, INF
@@ -214,7 +222,10 @@ def ranging(cf, result, row_names: Optional[List[str]] = None,
                     hi_s = min(hi_s, float(np.min(d[posu] / w[posu])))
                 if negu.any():
                     lo_s = max(lo_s, float(np.max(d[negu] / w[negu])))
-                # a nonbasic FREE column needs d_i == 0: any w_i != 0 pins
+                # a nonbasic FREE column needs d_i == 0: any w_i != 0 pins.
+                # looser cutoff than the 1e-12 ratio-denominator guard above:
+                # here w multiplies an EQUALITY (pin to a point), so noise-
+                # level w must not collapse the range to {0}
                 free = (vs == st.NB_FREE) & (np.abs(w) > 1e-9)
                 if free.any():
                     lo_s, hi_s = max(lo_s, 0.0), min(hi_s, 0.0)
@@ -248,29 +259,48 @@ def ranging(cf, result, row_names: Optional[List[str]] = None,
             hi=cj + b,
             reduced_cost=rc,
             basic=basic,
+            computed=computed,
         ))
 
     rhs_ranges: List[RhsRange] = []
     b_orig = np.asarray(cf.b) / cf.row_scale
+    room_up = slot_ub - xB
+    room_dn = slot_lb - xB
+
+    def _rhs_interval(H):
+        """Vectorized ratio test over B^-1 columns: H[k, i] = (B^-1)_{k,i}.
+
+        xB(delta) = xB + delta*h must stay in [slot_lb, slot_ub]; the
+        binding k's are those with |h_k| beyond noise.  Returns (lo, hi)
+        arrays over the i axis (masked ratios, no Python inner loop).
+        """
+        pos = H > 1e-12
+        neg = H < -1e-12
+        with np.errstate(divide="ignore", invalid="ignore"):
+            up = np.where(pos, room_up[:, None] / H, INF)
+            up = np.where(neg, room_dn[:, None] / H, up)
+            dn = np.where(pos, room_dn[:, None] / H, -INF)
+            dn = np.where(neg, room_up[:, None] / H, dn)
+        return dn.max(axis=0), up.min(axis=0)
+
+    if Binv is not None:
+        lo_all, hi_all = _rhs_interval(Binv)
+    else:
+        # above the dense gate: per-row LU solves, batched in strips so
+        # memory stays O(m * strip) while the ratio test stays vectorized
+        lo_all = np.empty(m)
+        hi_all = np.empty(m)
+        strip = max(1, int(dense_limit // max(m, 1)))
+        for i0 in range(0, m, strip):
+            cols = np.arange(i0, min(i0 + strip, m))
+            E = np.zeros((m, len(cols)))
+            E[cols, np.arange(len(cols))] = 1.0
+            H = lu.solve(E)
+            lo_all[cols], hi_all[cols] = _rhs_interval(H)
+
     for i in range(m):
-        h = Binv[:, i] if Binv is not None else lu.solve(
-            np.eye(m, 1, -i).ravel()
-        )
-        lo_s, hi_s = -INF, INF
-        for k in range(m):
-            hk = float(h[k])
-            if abs(hk) <= 1e-12:
-                continue
-            room_up = slot_ub[k] - xB[k]
-            room_dn = slot_lb[k] - xB[k]
-            if hk > 0:
-                hi_s = min(hi_s, room_up / hk)
-                lo_s = max(lo_s, room_dn / hk)
-            else:
-                hi_s = min(hi_s, room_dn / hk)
-                lo_s = max(lo_s, room_up / hk)
         ri = float(cf.row_scale[i])
-        a, b = lo_s / ri, hi_s / ri
+        a, b = lo_all[i] / ri, hi_all[i] / ri
         bi = float(b_orig[i])
         name = row_names[i] if row_names and i < len(row_names) else f"r{i}"
         rhs_ranges.append(RhsRange(

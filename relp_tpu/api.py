@@ -28,9 +28,15 @@ def ranging_of(result: GeneralFormResult):
     costs and dual slopes).  Raises ValueError when the result carries no
     vertex basis (presolved away, non-optimal, or a first-order solve
     without crossover).
+
+    Note: like the CLI, ranging is relative to the PRESOLVED model the
+    device solved — presolve may have substituted fixed variables into b
+    and tightened bounds, so rhs values/ranges can differ from the
+    original file.  Solve with ``SolverConfig(presolve=False)`` to range
+    the model exactly as written.
     """
     from relp_tpu.analysis import ranging
 
     if result.cf is None or result.simplex is None:
         raise ValueError("result carries no device solve to range over")
-    return ranging(result.cf, result.simplex)
+    return ranging(result.cf, result.simplex, row_names=result.row_names)

@@ -130,7 +130,11 @@ def main(argv=None) -> int:
         "--ranging",
         action="store_true",
         help="post-optimal sensitivity ranging (cost and rhs intervals "
-        "over which the optimal basis stays valid)",
+        "over which the optimal basis stays valid).  Ranging is relative "
+        "to the PRESOLVED model: presolve can substitute fixed variables "
+        "into b and tighten bounds, so printed rhs values/ranges may "
+        "differ from the file — combine with --no-presolve to range the "
+        "model exactly as written",
     )
     args = ap.parse_args(argv)
 
@@ -177,6 +181,11 @@ def main(argv=None) -> int:
 
         from relp_tpu.simplex.driver import solve_general_form
 
+        # ranging prints presolved-model quantities; remember the original
+        # shape so we can warn when presolve changed the problem (--ranging
+        # help text) — presolve mutates `general` in place
+        pre_shape = (len(general.row_names), len(general.variables))
+
         if args.mip:
             from relp_tpu.models.branch_bound import solve_mip
 
@@ -218,6 +227,17 @@ def main(argv=None) -> int:
     ):
         from relp_tpu.analysis import ranging as _ranging
 
+        if config.presolve and pre_shape != (
+            len(general.row_names), len(general.variables)
+        ):
+            print(
+                "ranging note: presolve modified the problem "
+                f"({pre_shape[0]}x{pre_shape[1]} -> "
+                f"{len(general.row_names)}x{len(general.variables)}); "
+                "ranges are relative to the presolved model — rerun with "
+                "--no-presolve to range the model as written",
+                file=sys.stderr,
+            )
         try:
             rng = _ranging(res.cf, res.simplex, row_names=general.row_names)
         except ValueError as e:
@@ -247,6 +267,7 @@ def main(argv=None) -> int:
                         "value": r.value, "cost": r.cost,
                         "lo": fin(r.lo), "hi": fin(r.hi),
                         "reduced_cost": r.reduced_cost, "basic": r.basic,
+                        "computed": r.computed,
                     }
                     for r in rng.cost
                 },
@@ -280,6 +301,7 @@ def main(argv=None) -> int:
                     f"  {r.name}: {r.value:.6g}  {r.cost:.6g} in "
                     f"[{r.lo:.6g}, {r.hi:.6g}]  rc={r.reduced_cost:.6g}"
                     f"{'  (basic)' if r.basic else ''}"
+                    f"{'' if r.computed else '  (range not computed)'}"
                 )
             print("rhs ranging (row: rhs in [lo, hi]  dual):")
             for r in rng.rhs:

@@ -1131,7 +1131,9 @@ def solve_general_form(
     )
     res = solve_computational_form(cf, config, warm_start_builder=builder)
     if not res.is_optimal:
-        return GeneralFormResult(kind=res.kind, simplex=res, cf=cf)
+        return GeneralFormResult(
+            kind=res.kind, simplex=res, cf=cf, row_names=list(general.row_names)
+        )
 
     reduced: Dict[str, float] = {
         v.name: float(res.x_structural[j]) for j, v in enumerate(general.variables)
@@ -1141,7 +1143,7 @@ def solve_general_form(
     solution.objective_value = res.objective
     return GeneralFormResult(
         kind=LinearProgramType.FINITE_OPTIMUM, solution=solution, simplex=res,
-        cf=cf,
+        cf=cf, row_names=list(general.row_names),
     )
 
 
@@ -1153,6 +1155,9 @@ class GeneralFormResult:
     # the lowered problem the device solved (None when presolve finished
     # the job) — lets analysis.ranging run off the returned basis
     cf: Optional[object] = None
+    # row names of the (presolved) problem the device saw, so api.ranging_of
+    # can label rhs ranges like the CLI does
+    row_names: Optional[list] = None
 
 
 def solve_general_forms_batched(

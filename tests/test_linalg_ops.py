@@ -63,26 +63,3 @@ def test_rank_one_update_matches_recomputed_inverse():
     B2 = B.copy()
     B2[:, r] = a_new
     np.testing.assert_allclose(np.asarray(updated), np.linalg.inv(B2), rtol=1e-8)
-
-
-def test_eta_stack_matches_dense_updates():
-    from relp_tpu.simplex.inverse import EtaStack
-
-    m = 12
-    rng = np.random.default_rng(5)
-    B = random_spd_ish(m, seed=5)
-    Binv = np.linalg.inv(B)
-    stack = EtaStack.empty(capacity=4, m=m)
-    dense = jnp.asarray(Binv)
-    for step, r in enumerate([2, 7, 4]):
-        a_new = rng.standard_normal(m)
-        u = np.asarray(dense @ a_new)
-        stack = stack.push(jnp.asarray(u), r)
-        dense = rank_one_basis_update(dense, jnp.asarray(u), r)
-    v = rng.standard_normal(m)
-    # FTRAN: dense path vs eta-application over the original inverse
-    got = stack.apply(jnp.asarray(Binv @ v))
-    np.testing.assert_allclose(np.asarray(got), np.asarray(dense @ v), rtol=1e-9)
-    # BTRAN: v^T (E..E B0^-1) = (v^T applied through etas) @ B0^-1
-    got_t = np.asarray(stack.apply_transposed(jnp.asarray(v))) @ Binv
-    np.testing.assert_allclose(got_t, np.asarray(v @ dense), rtol=1e-9)
