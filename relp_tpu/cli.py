@@ -73,6 +73,13 @@ def main(argv=None) -> int:
         "the cuPDLP+ accelerant; avg = classic PDLP average restarts)",
     )
     ap.add_argument(
+        "--pdlp-precision",
+        choices=["auto", "mixed", "f64"],
+        default="auto",
+        help="PDHG iterate precision (mixed = f32 rounds + f64 KKT checks "
+        "+ f64 endgame, 2.4x faster on TPU; auto = mixed on accelerators)",
+    )
+    ap.add_argument(
         "--pdlp-accept",
         type=float,
         default=1e-6,
@@ -153,6 +160,7 @@ def main(argv=None) -> int:
         pdlp_crossover=not args.no_crossover,
         pdlp_matrix=args.pdlp_matrix,
         pdlp_variant=args.pdlp_variant,
+        pdlp_precision=args.pdlp_precision,
         pdlp_accept=args.pdlp_accept,
     )
 
@@ -321,6 +329,28 @@ def main(argv=None) -> int:
                 f"bound_viol {float(check.max_bound_violation):.3g}",
                 file=sys.stderr,
             )
+            # optimality certificate (exact rational KKT of the solved
+            # basis) whenever a vertex basis is available and small enough
+            if (
+                getattr(res, "cf", None) is not None
+                and getattr(res, "simplex", None) is not None
+                and res.simplex.basis is not None
+            ):
+                from relp_tpu.numerics.exact import certify_optimal_basis
+
+                try:
+                    cert = certify_optimal_basis(res.cf, res.simplex)
+                    print(
+                        "exact optimality certificate: "
+                        f"{'OPTIMAL' if cert.ok() else 'NOT CERTIFIED'}  "
+                        f"primal_viol {float(cert.max_primal_violation):.3g}  "
+                        f"dual_viol {float(cert.max_dual_violation):.3g}",
+                        file=sys.stderr,
+                    )
+                    if not cert.ok():
+                        return 3
+                except ValueError as e:
+                    print(f"optimality certificate skipped: {e}", file=sys.stderr)
             if not ok:
                 return 3
         return 0

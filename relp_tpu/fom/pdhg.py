@@ -99,6 +99,40 @@ def _power_norm(A, iters: int = 30):
     return jnp.sqrt(jnp.maximum(jnp.linalg.norm(A.rmatvec(A.matvec(v))), 1e-12))
 
 
+@jax.jit
+def kkt_residual(A, b, c, lb, ub, x, y):
+    """Relative KKT of a point in the arrays' own precision — the driver's
+    mixed-precision loop evaluates f32-stage iterates against the f64
+    operator through this (cast x/y up before calling)."""
+    return _kkt(as_amatrix(A), b, c, lb, ub, x, y)
+
+
+def cast_state(state: PdhgState, A, dtype) -> PdhgState:
+    """Re-express a PDHG state in ``dtype`` against operator ``A``.
+
+    Float leaves are cast; the cached A·x products are RECOMPUTED in the
+    target precision (a cached f32 product carries f32 error that would
+    otherwise contaminate every subsequent f64 step).
+    """
+    A = as_amatrix(A)
+    x = state.x.astype(dtype)
+    xa = state.x_anchor.astype(dtype)
+    return state._replace(
+        x=x,
+        y=state.y.astype(dtype),
+        ax=A.matvec(x),
+        x_sum=state.x_sum.astype(dtype),
+        y_sum=state.y_sum.astype(dtype),
+        x_anchor=xa,
+        y_anchor=state.y_anchor.astype(dtype),
+        ax_anchor=A.matvec(xa),
+        eta=state.eta.astype(dtype),
+        omega=state.omega.astype(dtype),
+        kkt=state.kkt.astype(dtype),
+        kkt_mu=state.kkt_mu.astype(dtype),
+    )
+
+
 def _kkt(A, b, c, lb, ub, x, y):
     """Relative KKT residual of (x, y) — the PDLP termination triple."""
     r_prim = jnp.max(jnp.abs(A.matvec(x) - b)) / (1.0 + jnp.max(jnp.abs(b)))

@@ -159,3 +159,232 @@ class ExactVerifier:
 
 def verify_against_file(path: str, values: Dict[str, float]) -> ExactCheck:
     return ExactVerifier(path).check(values)
+
+
+# ---------------------------------------------------------------------------
+# Exact optimality certificate (reference parity: rust-lp guarantees exact
+# optimality by construction through rational arithmetic — e.g. the exact
+# objective assertions of tests/burkardt/test.rs:50.  Here the same guarantee
+# is recovered a posteriori: the returned basis is certified optimal in
+# exact rational arithmetic.)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class OptimalityCertificate:
+    """Exact certificate that a returned basis is optimal.
+
+    All quantities are exact ``Fraction``s computed from the rational
+    problem the device actually solved (the scaled computational form —
+    every float datum IS a rational, and the equilibration scales are
+    powers of two, so this is an exact rescaling of the parsed model).
+
+    ``ok()`` iff the basis matrix is nonsingular over the rationals, the
+    exact basic solution respects its bounds, and every nonbasic reduced
+    cost has the optimal sign — the textbook optimality conditions,
+    verified with zero tolerance.
+    """
+
+    basis_nonsingular: bool
+    max_primal_violation: Fraction   # worst exact basic-bound violation
+    max_dual_violation: Fraction     # worst exact reduced-cost sign violation
+    objective: Fraction              # exact objective, original sense,
+    # including presolve fixed cost
+
+    def ok(self) -> bool:
+        return (
+            self.basis_nonsingular
+            and self.max_primal_violation == 0
+            and self.max_dual_violation == 0
+        )
+
+
+def _solve_fraction_system(B: List[List[Fraction]], rhs_list: List[List[Fraction]]):
+    """Solve B X = rhs for several right-hand sides over the rationals.
+
+    Plain Gaussian elimination with largest-pivot selection; returns the
+    solution columns, or None when B is singular over Q.  O(m^3) Fraction
+    ops — fine at the m ≤ few hundred scale this certificate targets.
+    """
+    m = len(B)
+    k = len(rhs_list)
+    aug = [B[i][:] + [rhs_list[j][i] for j in range(k)] for i in range(m)]
+    for col in range(m):
+        # any nonzero pivot is exact over Q; the first one avoids big-int
+        # magnitude comparisons
+        piv = next((r for r in range(col, m) if aug[r][col]), None)
+        if piv is None:
+            return None
+        if piv != col:
+            aug[col], aug[piv] = aug[piv], aug[col]
+        prow = aug[col]
+        inv = 1 / prow[col]
+        for r in range(m):
+            if r == col:
+                continue
+            f = aug[r][col]
+            if f:
+                f *= inv
+                row = aug[r]
+                for t in range(col, m + k):
+                    if prow[t]:
+                        row[t] -= f * prow[t]
+    return [[aug[i][m + j] / aug[i][i] for i in range(m)] for j in range(k)]
+
+
+def certify_optimal_basis(cf, result, size_limit: int = 1200) -> OptimalityCertificate:
+    """Certify, in exact rational arithmetic, that ``result``'s basis is an
+    optimal basis of the computational form ``cf`` it was solved on.
+
+    Checks the textbook conditions with ZERO tolerance:
+
+    - ``B x_B = b − N x_N`` solved exactly; ``lb_B ≤ x_B ≤ ub_B`` exactly
+      (basic artificials of redundant rows must be exactly 0);
+    - ``Bᵀ y = c_B`` solved exactly; every nonbasic column's reduced cost
+      ``d_j = c_j − a_jᵀ y`` satisfies its sign condition exactly
+      (at-lower ⇒ d ≥ 0, at-upper ⇒ d ≤ 0, free ⇒ d = 0, fixed ⇒ any).
+
+    Scope: the certificate is of the problem the device solved — the
+    presolved, power-of-two-scaled computational form, whose float data
+    is an exact rational model.  Solve with presolve disabled to certify
+    the parsed model itself.  Raises ValueError when the result carries
+    no basis or m exceeds ``size_limit`` (exact O(m^3) elimination).
+    """
+    import numpy as np
+
+    from relp_tpu.analysis.ranging import _basis_in_cf_space
+    from relp_tpu.simplex import status as st
+
+    if result.basis is None or result.vstat is None:
+        raise ValueError("result carries no basis to certify")
+    m, n = cf.m, cf.n
+    if m > size_limit:
+        raise ValueError(
+            f"m={m} exceeds exact-certificate size limit {size_limit}"
+        )
+    n_pad = result.metrics.n_padded if result.metrics else n
+    basis = np.asarray(result.basis)
+    vstat = np.asarray(result.vstat)
+    art_sign = (
+        np.asarray(result.art_sign)
+        if getattr(result, "art_sign", None) is not None
+        else np.ones(m)
+    )
+
+    kinds = _basis_in_cf_space(cf, basis, n_pad)
+    A = cf.A.tocsc()
+    FR = Fraction
+
+    def frac_col(j) -> List[Fraction]:
+        col = [FR(0)] * m
+        for p in range(A.indptr[j], A.indptr[j + 1]):
+            col[A.indices[p]] = FR(float(A.data[p]))
+        return col
+
+    in_basis = set()
+    B_cols: List[List[Fraction]] = []
+    cB: List[Fraction] = []
+    slot_lb: List[Fraction] = []
+    slot_ub: List[Fraction] = []
+    for kind in kinds:
+        if kind >= 0:
+            B_cols.append(frac_col(kind))
+            cB.append(FR(float(cf.c[kind])))
+            lo, hi = float(cf.lb[kind]), float(cf.ub[kind])
+            # None marks an unbounded side (Fraction(inf) is undefined)
+            slot_lb.append(FR(lo) if np.isfinite(lo) else None)
+            slot_ub.append(FR(hi) if np.isfinite(hi) else None)
+            in_basis.add(kind)
+        else:
+            r = -kind - 1
+            e = [FR(0)] * m
+            e[r] = FR(float(art_sign[r]) or 1.0)
+            B_cols.append(e)
+            cB.append(FR(0))
+            # artificial of a (redundant) row: must sit exactly at 0
+            slot_lb.append(FR(0))
+            slot_ub.append(FR(0))
+    B = [[B_cols[k][i] for k in range(m)] for i in range(m)]
+
+    # nonbasic values and the rhs b − N x_N (exact)
+    rhs = [FR(float(v)) for v in cf.b]
+    x_nb: Dict[int, Fraction] = {}
+    for j in range(n):
+        if j in in_basis:
+            continue
+        s = int(vstat[j])
+        if s == st.BASIC:
+            # vstat says basic but the slot maps elsewhere — inconsistent
+            raise ValueError(f"column {j} marked BASIC but not in basis")
+        if s == st.NB_UPPER:
+            v = float(cf.ub[j])
+        elif s == st.NB_FREE:
+            v = 0.0
+        else:  # NB_LOWER / NB_FIXED
+            v = float(cf.lb[j])
+        if not np.isfinite(v):
+            raise ValueError(f"nonbasic column {j} rests at infinite bound")
+        if v != 0.0:
+            xv = FR(v)
+            x_nb[j] = xv
+            for p in range(A.indptr[j], A.indptr[j + 1]):
+                rhs[A.indices[p]] -= FR(float(A.data[p])) * xv
+        else:
+            x_nb[j] = FR(0)
+
+    sol = _solve_fraction_system(B, [rhs])
+    # duals solve the TRANSPOSED system B^T y = c_B
+    Bt = [[B[i][k] for i in range(m)] for k in range(m)]
+    sol_y = _solve_fraction_system(Bt, [cB]) if sol is not None else None
+    if sol is None or sol_y is None:
+        return OptimalityCertificate(
+            basis_nonsingular=False,
+            max_primal_violation=FR(0),
+            max_dual_violation=FR(0),
+            objective=FR(0),
+        )
+    xB = sol[0]
+    y = sol_y[0]
+
+    primal_viol = FR(0)
+    for k in range(m):
+        if slot_lb[k] is not None:
+            primal_viol = max(primal_viol, slot_lb[k] - xB[k])
+        if slot_ub[k] is not None:
+            primal_viol = max(primal_viol, xB[k] - slot_ub[k])
+
+    dual_viol = FR(0)
+    for j in range(n):
+        if j in in_basis:
+            continue
+        s = int(vstat[j])
+        if s == st.NB_FIXED or float(cf.lb[j]) == float(cf.ub[j]):
+            continue  # fixed: any sign is optimal
+        d = FR(float(cf.c[j]))
+        for p in range(A.indptr[j], A.indptr[j + 1]):
+            d -= FR(float(A.data[p])) * y[A.indices[p]]
+        if s == st.NB_UPPER:
+            dual_viol = max(dual_viol, d)
+        elif s == st.NB_FREE:
+            dual_viol = max(dual_viol, abs(d))
+        else:  # NB_LOWER
+            dual_viol = max(dual_viol, -d)
+
+    # exact objective: scaled-space min objective maps to the original
+    # sense by sigma (c_cf = sigma * C * c_orig and x_orig = C x_cf)
+    obj = FR(0)
+    for kind, k in zip(kinds, range(m)):
+        if kind >= 0 and cB[k]:
+            obj += cB[k] * xB[k]
+    for j, xv in x_nb.items():
+        if xv:
+            obj += FR(float(cf.c[j])) * xv
+    sigma = -1 if cf.maximize else 1
+    obj = sigma * obj + FR(float(cf.fixed_cost))
+
+    return OptimalityCertificate(
+        basis_nonsingular=True,
+        max_primal_violation=primal_viol,
+        max_dual_violation=dual_viol,
+        objective=obj,
+    )

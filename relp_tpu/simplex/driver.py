@@ -244,6 +244,14 @@ def solve_computational_form(
         A, b, c, lb, ub, _ = maybe_shard(
             config.mesh_cols, n_pad, A, b, c, lb, ub
         )
+    else:
+        # pin the column pool to the device ONCE: numpy-leaved jit args are
+        # re-transferred on EVERY call, and the chunked-continuation loop
+        # below re-invokes solve_core with the same A per chunk (the remote
+        # TPU tunnel moves ~0.03 GB/s — a dense DFL001-scale A would cost
+        # tens of seconds per chunk).  b/c/lb/ub stay host numpy: they are
+        # tiny and host logic (_host_art_sign) mutates them in place.
+        A = jax.device_put(A)
 
     # Long solves run as bounded device calls continued via warm start:
     # a single uninterrupted device execution beyond ~1 minute risks the
@@ -477,7 +485,8 @@ def solve_computational_form(
         import jax.numpy as jnp
 
         from relp_tpu.fom.pdhg import (
-            _power_norm, initial_state, solve_pdhg_chunk,
+            _power_norm, cast_state, initial_state, kkt_residual,
+            solve_pdhg_chunk,
         )
         from relp_tpu.ops.amatrix import as_amatrix
         from relp_tpu.utils.metrics import logger as _log
@@ -555,7 +564,9 @@ def solve_computational_form(
         rpad = np.arange(m_pad)
         cpad = np.arange(n_pad)
         if fmt == "bricks":
-            from relp_tpu.ops.bricks import bandwidth_perm, bricks_from_csc
+            from relp_tpu.ops.bricks import (
+                bandwidth_perm, grouped_bricks_from_csc,
+            )
 
             mp = max(_round_up(m_pad, 128), 128)
             np_ = max(_round_up(n_pad, 128), 128)
@@ -566,9 +577,9 @@ def solve_computational_form(
             csc_pad = sp.csc_matrix(
                 (coo_p.data, (coo_p.row, coo_p.col)), shape=(mp, np_)
             )
-            A_s = bricks_from_csc(
-                csc_pad, mp, np_, bucket=lambda x: _bucket(x, 8)
-            )
+            # tight-packed grouped layout: 2.6-2.9× less HBM traffic per
+            # SpMV than the flat [T, B] slot array on DFL001/STOCFOR3
+            A_s = grouped_bricks_from_csc(csc_pad, mp, np_)
             ext = lambda a, k, fill: np.concatenate(  # noqa: E731
                 [a, np.full(k - len(a), fill)]
             )
@@ -586,10 +597,67 @@ def solve_computational_form(
             A_s, b_s, c_s, lb_s, ub_s, _ = maybe_shard(
                 config.mesh_cols, n_pad, A_s, b_s, c_s, lb_s, ub_s
             )
+        else:
+            # pin the operator and problem vectors to the device ONCE:
+            # numpy-leaved jit arguments are re-transferred on EVERY call,
+            # and the brick operator is hundreds of MB — measured 8 s per
+            # matvec call (0.03 GB/s through the remote tunnel) vs µs when
+            # device-resident (tools/profile_pdhg.py)
+            A_s, b_s, c_s, lb_s, ub_s = jax.device_put(
+                (A_s, b_s, c_s, lb_s, ub_s)
+            )
         norm_A = float(jax.jit(_power_norm)(as_amatrix(A_s)))
         if not np.isfinite(norm_A) or norm_A <= 0:
             return None
         state = initial_state(as_amatrix(A_s), lb_s, ub_s, 0.9 / norm_A)
+
+        # ---- mixed precision (config.pdlp_precision): f32 rounds for the
+        # bulk of the iterations (2.4× faster on TPU — f64 elementwise ops
+        # are limb-emulated), f64 relative-KKT verification at every chunk
+        # boundary, and an f64 endgame once the f32 fixed-point floor
+        # (~1e-6 relative) is reached.  Acceptance ALWAYS uses f64 KKT. ----
+        precision = str(config.pdlp_precision)
+        if precision == "auto":
+            precision = (
+                "mixed"
+                if jax.default_backend() != "cpu" and not use_mesh
+                else "f64"
+            )
+        f32_stage = precision == "mixed"
+        if f32_stage:
+            _f32 = jnp.float32
+            A32 = jax.device_put(jax.tree.map(
+                lambda l: l.astype(_f32) if l.dtype == jnp.float64 else l,
+                as_amatrix(A_s),
+            ))
+            b32, c32, lb32, ub32 = (
+                jnp.asarray(v, _f32) for v in (b_s, c_s, lb_s, ub_s)
+            )
+            state = cast_state(state, A32, _f32)
+        # hand off to f64 once the f32 stage reaches the territory where
+        # its SpMV noise (~1e-7 relative) stops being negligible
+        f32_until = max(
+            10.0 * float(config.pdlp_accept), 100.0 * float(config.pdlp_tol)
+        )
+
+        def _promote_to_f64(reason: str, clean: bool = False):
+            nonlocal f32_stage, state, best_it, ref_kkt
+            f32_stage = False
+            ref_kkt = np.inf
+            if clean:
+                state = initial_state(
+                    as_amatrix(A_s), lb_s, ub_s, 0.9 / norm_A
+                )._replace(it=state.it)
+            else:
+                state = cast_state(
+                    state, as_amatrix(A_s), jnp.float64
+                )._replace(status=jnp.int32(st.RUNNING))
+            best_it = int(state.it)
+            _log.info(
+                "pdlp: switching to f64 rounds at it=%d (%s)",
+                int(state.it), reason,
+            )
+
         budget = config.max_iter if config.max_iter > 0 else 1_000_000
         round_len = int(config.pdlp_round)
         # bound one device call well under the execution watchdog: rounds
@@ -654,52 +722,81 @@ def solve_computational_form(
             best_it = int(state.it)
 
         while int(state.it) < budget:
+            ops = (
+                (A32, b32, c32, lb32, ub32) if f32_stage
+                else (A_s, b_s, c_s, lb_s, ub_s)
+            )
             state = solve_pdhg_chunk(
-                A_s, b_s, c_s, lb_s, ub_s, state,
+                *ops, state,
                 round_len=round_len, max_rounds=rounds_per_call,
                 tol=float(config.pdlp_tol),
                 variant=variant,
             )
             state = jax.block_until_ready(state)
+            # the f32 stage's self-reported KKT carries ~1e-7 SpMV noise:
+            # every decision below uses the f64 KKT of the same point
+            if f32_stage:
+                kkt64 = float(kkt_residual(
+                    A_s, b_s, c_s, lb_s, ub_s,
+                    state.x.astype(jnp.float64),
+                    state.y.astype(jnp.float64),
+                ))
+            else:
+                kkt64 = float(state.kkt)
             if _log.isEnabledFor(20):
                 _log.info(
-                    "pdlp chunk it=%d kkt=%.3e omega=%.3e obj=%.9e wall=%.1fs",
-                    int(state.it), float(state.kkt), float(state.omega),
-                    float(c_s @ np.asarray(state.x)), t.peek(),
+                    "pdlp chunk it=%d kkt=%.3e%s omega=%.3e obj=%.9e wall=%.1fs",
+                    int(state.it), kkt64, " (f32 rounds)" if f32_stage else "",
+                    float(state.omega),
+                    float(np.asarray(c_s) @ np.asarray(state.x, np.float64)),
+                    t.peek(),
                 )
             if int(state.status) != st.RUNNING:
-                break
+                if not f32_stage or kkt64 < float(config.pdlp_tol):
+                    break
+                # f32 rounds declared optimal but the f64 KKT disagrees
+                _promote_to_f64("f32 optimality unconfirmed in f64")
+                continue
             # plateau detection: the f64 relative-KKT floor can sit above
             # pdlp_tol (config.pdlp_accept docstring) — stop burning
             # iterations once progress stalls, accept if good enough
-            if not np.isfinite(state.kkt) or float(state.kkt) > 1e10 or (
-                best_kkt < 1.0 and float(state.kkt) > max(1e6 * best_kkt, 1e3)
+            if not np.isfinite(kkt64) or kkt64 > 1e10 or (
+                best_kkt < 1.0 and kkt64 > max(1e6 * best_kkt, 1e3)
             ):
                 # divergence guard: adaptive-η PDHG can blow up (SCSD8 in
                 # avg mode reaches KKT ~1e133) — stop burning iterations
+                if f32_stage:
+                    # rule out precision as the cause before burning a
+                    # restart-scheme switch
+                    _promote_to_f64("f32 divergence", clean=True)
+                    continue
                 if variants_left:
                     _log.info(
                         "pdlp diverged at it=%d (kkt=%.3e) — restarting "
-                        "with variant=%s", int(state.it), float(state.kkt),
+                        "with variant=%s", int(state.it), kkt64,
                         variants_left[0],
                     )
                     _switch_variant(warm=False)
                     continue
                 _log.info(
                     "pdlp diverged at it=%d (kkt=%.3e, best=%.3e) — "
-                    "falling back", int(state.it), float(state.kkt), best_kkt,
+                    "falling back", int(state.it), kkt64, best_kkt,
                 )
                 break
-            if float(state.kkt) < best_kkt:
-                best_kkt = float(state.kkt)
+            if kkt64 < best_kkt:
+                best_kkt = kkt64
                 best_xy = (
-                    np.asarray(state.x).copy(), np.asarray(state.y).copy()
+                    np.asarray(state.x, np.float64).copy(),
+                    np.asarray(state.y, np.float64).copy(),
                 )
-            if float(state.kkt) < 0.9 * ref_kkt:
+            if kkt64 < 0.9 * ref_kkt:
                 # beyond-noise progress (relative to the CURRENT scheme's
                 # reference): reset the plateau clock
-                ref_kkt = float(state.kkt)
+                ref_kkt = kkt64
                 best_it = int(state.it)
+            if f32_stage and best_kkt <= f32_until:
+                _promote_to_f64(f"f64 endgame territory (kkt={best_kkt:.1e})")
+                continue
             # plateau window scales with how long progress took so far:
             # XL-tier instances need hundreds of thousands of iterations,
             # and a fixed window cuts schemes off mid-convergence (the
@@ -710,6 +807,13 @@ def solve_computational_form(
             window = max(int(config.pdlp_plateau), best_it // 2)
             if best_kkt <= float(config.pdlp_accept):
                 window = int(config.pdlp_plateau)
+            if f32_stage:
+                # a stalled f32 stage is promoted (cheap, the f64 rounds
+                # are only ~2.4× slower) — detect its noise floor on a much
+                # shorter window than the fall-back plateau (ISRAEL's f32
+                # floor is ~2e-3; waiting the full window burned 100k
+                # useless f32 iterations)
+                window = max(int(config.pdlp_plateau) // 4, best_it // 4)
             if (
                 config.pdlp_plateau > 0
                 and int(state.it) - best_it >= window
@@ -727,11 +831,16 @@ def solve_computational_form(
                         int(state.it), best_kkt,
                         float(config.pdlp_tol), float(config.pdlp_accept),
                     )
+                elif f32_stage:
+                    # stalled above the accept bar while still in f32:
+                    # the precision floor is the first suspect
+                    _promote_to_f64(f"f32 plateau at kkt={best_kkt:.1e}")
+                    continue
                 elif variants_left:
                     _log.info(
                         "pdlp plateau at it=%d: kkt=%.3e > accept=%.1e — "
                         "continuing with variant=%s",
-                        int(state.it), float(state.kkt),
+                        int(state.it), kkt64,
                         float(config.pdlp_accept), variants_left[0],
                     )
                     # a stalled-but-sane best point warm-continues; a
@@ -741,7 +850,7 @@ def solve_computational_form(
                 else:
                     _log.info(
                         "pdlp plateau at it=%d: kkt=%.3e > accept=%.1e — "
-                        "falling back", int(state.it), float(state.kkt),
+                        "falling back", int(state.it), kkt64,
                         float(config.pdlp_accept),
                     )
                 break

@@ -180,6 +180,14 @@ class SolverConfig:
     # an EXACT vertex optimum — typically a handful of pivots.  Applies
     # when the in-loop primal is available (m_pad ≤ 12288).
     pdlp_crossover: bool = True
+    # Iterate precision for the first-order engine.  "auto" = mixed on
+    # accelerators (f64 elementwise ops are limb-emulated on TPU — the f32
+    # brick rounds run 2.4× faster, measured 1543 vs 630 it/s on DFL001,
+    # runs/profile_pdhg_DFL001_tpu.json), full f64 on CPU.  "mixed" = f32
+    # rounds with f64 KKT verification at chunk boundaries and an f64
+    # endgame once f32 stalls (its fixed-point floor is ~1e-6 relative);
+    # "f64" = everything in f64.  Acceptance ALWAYS uses the f64 KKT.
+    pdlp_precision: str = "auto"
     # PDHG device matrix: "bricks" re-tiles the nonzeros into (8, 128)
     # dense bricks gathered as 128-lane rows — TPU element gathers are
     # serial (~14 ns/element; tools/probe_gather_layouts.py), so the ELL

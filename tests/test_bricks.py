@@ -96,3 +96,42 @@ def test_pdlp_bricks_end_to_end():
     )
     assert r.solution is not None
     assert r.solution.objective_value == pytest.approx(-464.753142, rel=1e-6)
+
+
+def test_grouped_bricks_match_flat_and_scipy():
+    """GroupedBrickMatrix (tight packing): same operator semantics as the
+    flat layout, strictly fewer padded slots on skewed tile fills."""
+    from relp_tpu.ops.bricks import grouped_bricks_from_csc
+
+    rng = np.random.default_rng(7)
+    m, n = 512, 768
+    A = sp.random(m, n, density=0.01, random_state=3, format="lil")
+    A[:8, :] = sp.random(8, n, density=0.4, random_state=4).toarray()
+    A = sp.csc_matrix(A)
+    flat = bricks_from_csc(A, m, n)
+    grp = grouped_bricks_from_csc(A, m, n)
+    x = rng.standard_normal(n)
+    y = rng.standard_normal(m)
+    np.testing.assert_allclose(
+        np.asarray(grp.matvec(jnp.asarray(x))), A @ x, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(grp.rmatvec(jnp.asarray(y))), A.T @ y, atol=1e-12
+    )
+    flat_slots = flat.rdata.size
+    grp_slots = sum(d.size for d, _ in grp.rgroups)
+    assert grp_slots <= flat_slots
+
+
+def test_grouped_bricks_empty_and_uniform():
+    """Degenerate groupings: empty matrix and perfectly uniform fill."""
+    from relp_tpu.ops.bricks import grouped_bricks_from_csc
+
+    Z = sp.csc_matrix((256, 256))
+    G = grouped_bricks_from_csc(Z, 256, 256)
+    assert np.all(np.asarray(G.matvec(jnp.ones(256))) == 0.0)
+    E = sp.identity(256, format="csc")
+    G2 = grouped_bricks_from_csc(E, 256, 256)
+    v = np.arange(256.0)
+    np.testing.assert_array_equal(np.asarray(G2.matvec(jnp.asarray(v))), v)
+    np.testing.assert_array_equal(np.asarray(G2.rmatvec(jnp.asarray(v))), v)

@@ -223,3 +223,23 @@ def test_pdhg_batched_scenarios():
     assert np.all(np.asarray(out.status) == st.OPTIMAL)
     x = np.asarray(out.x)
     np.testing.assert_allclose(x.sum(axis=1), bs, atol=1e-6)
+
+
+def test_pdlp_mixed_precision_full_kkt():
+    """Mixed precision (f32 rounds + f64 KKT checks + f64 endgame,
+    config.pdlp_precision="mixed"): must reach the FULL f64 tolerance —
+    the f32 stage accelerates, the f64 endgame certifies."""
+    from relp_tpu.api import solve
+
+    res = solve(
+        reference_problem("netlib", "SC205.SIF"),
+        config=SolverConfig(
+            algorithm="pdlp",
+            pdlp_crossover=False,
+            pdlp_precision="mixed",
+        ),
+    )
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert res.solution.objective_value == pytest.approx(
+        -52.202061211707248, rel=1e-6
+    )

@@ -62,7 +62,12 @@ def build(inst):
 
 def timeit(f, *args, n=20, warm=2):
     for _ in range(warm):
-        jax.block_until_ready(f(*args))
+        out = jax.block_until_ready(f(*args))
+    t0 = time.perf_counter()
+    jax.block_until_ready(f(*args))
+    t1 = time.perf_counter() - t0
+    if t1 > 0.5:  # slow op: keep the probe bounded
+        n = max(1, min(n, int(2.0 / t1)))
     t0 = time.perf_counter()
     for _ in range(n):
         out = jax.block_until_ready(f(*args))
@@ -87,6 +92,15 @@ def main():
     res["brick_fill"] = cf.A.nnz / (A.rdata.size)
     print(json.dumps(res), flush=True)
 
+    # host->device transfer cost of the operator (what a numpy-leaved
+    # BrickMatrix pays on EVERY jit call) vs device-resident leaves
+    t0 = time.perf_counter()
+    A = jax.block_until_ready(jax.device_put(A))
+    res["device_put_s"] = time.perf_counter() - t0
+    res["tunnel_gbps"] = (rbytes + cbytes) / max(res["device_put_s"], 1e-9) / 1e9
+    print(json.dumps({k: res[k] for k in ("device_put_s", "tunnel_gbps")}),
+          flush=True)
+
     x64 = jnp.asarray(np.random.default_rng(0).standard_normal(np_))
     y64 = jnp.asarray(np.random.default_rng(1).standard_normal(mp))
 
@@ -100,10 +114,10 @@ def main():
     res["rmatvec_f64_gbps"] = cbytes / t / 1e9
     print(json.dumps({k: res[k] for k in list(res)[-4:]}), flush=True)
 
-    # f32 and bf16 brick variants
+    # f32 and bf16 brick variants (device-resident)
     for dt, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
-        A2 = BrickMatrix(A.rdata.astype(dt), A.ridx, A.cdata.astype(dt),
-                         A.cidx, A.m, A.n)
+        A2 = jax.device_put(BrickMatrix(
+            A.rdata.astype(dt), A.ridx, A.cdata.astype(dt), A.cidx, A.m, A.n))
         xb = x64.astype(dt)
         yb = y64.astype(dt)
         nb = A2.rdata.size * A2.rdata.dtype.itemsize
@@ -130,8 +144,8 @@ def main():
                                 tol=0.0, variant="halpern")
 
     for dt, tag in ((jnp.float64, "f64"), (jnp.float32, "f32")):
-        A_ = A if dt == jnp.float64 else BrickMatrix(
-            A.rdata.astype(dt), A.ridx, A.cdata.astype(dt), A.cidx, A.m, A.n)
+        A_ = A if dt == jnp.float64 else jax.device_put(BrickMatrix(
+            A.rdata.astype(dt), A.ridx, A.cdata.astype(dt), A.cidx, A.m, A.n))
         cast = lambda v: v.astype(dt)  # noqa: E731
         f = jax.jit(lambda A_, b_, c_, l_, u_: run_rounds(
             A_, b_, c_, l_, u_, eta0, args.rounds))
