@@ -155,10 +155,119 @@ def _highs_wall(paths, verbose=False):
     return total, solved
 
 
+def run_fleet(args, base_dir) -> int:
+    """--suite fleet: N perturbed same-shape scenarios of one instance,
+    solved as ONE vmapped device program (parallel/batched.py — the
+    workload where a batch accelerator natively wins) vs HiGHS solving
+    the same fleet sequentially on the host.  VERDICT r2 item 2."""
+    import numpy as np
+
+    import relp_tpu  # noqa: F401
+    from relp_tpu.io import import_lp
+    from relp_tpu.model.elements import LinearProgramType
+    from relp_tpu.simplex.driver import solve_general_forms_batched
+    from relp_tpu.utils.config import SolverConfig
+
+    name = args.fleet_base
+    n_scen = args.fleet_n
+    path = f"{base_dir}/{name}.SIF"
+    rng = np.random.default_rng(20260819)
+    zb = rng.standard_normal((n_scen, 10_000))
+    zc = rng.standard_normal((n_scen, 10_000))
+
+    def scenarios():
+        gens = []
+        for s in range(n_scen):
+            gf = import_lp(path)
+            gf.b = gf.b * (1.0 + 0.03 * zb[s, : len(gf.b)])
+            for j, v in enumerate(gf.variables):
+                v.cost = v.cost * (1.0 + 0.03 * zc[s, j])
+            gens.append(gf)
+        return gens
+
+    config = SolverConfig()
+    # compile warmup on a small prefix fleet; the vmapped program's shape
+    # depends on the batch size, so warm the FULL batch shape once
+    solve_general_forms_batched(scenarios(), config)
+
+    t0 = time.perf_counter()
+    results = solve_general_forms_batched(scenarios(), config)
+    wall = time.perf_counter() - t0
+    ok = sum(1 for r in results if r.kind is LinearProgramType.FINITE_OPTIMUM)
+    objs = [
+        r.solution.objective_value if r.solution is not None else None
+        for r in results
+    ]
+
+    # HiGHS baseline: the same fleet, solved sequentially on the host from
+    # the same lowered form (its own presolve included — best CPU practice)
+    highs_wall = None
+    highs_ok = 0
+    obj_match = None
+    if not args.no_highs:
+        from scipy.optimize import linprog
+
+        from relp_tpu.model.computational_form import build_computational_form
+
+        cfs = [
+            build_computational_form(gf, scale=False) for gf in scenarios()
+        ]
+        t0 = time.perf_counter()
+        highs_objs = []
+        for cf in cfs:
+            res = linprog(
+                cf.c, A_eq=cf.A, b_eq=cf.b,
+                bounds=list(zip(cf.lb, cf.ub)), method="highs",
+            )
+            highs_ok += int(res.status == 0)
+            sigma = -1.0 if cf.maximize else 1.0
+            highs_objs.append(
+                sigma * res.fun + cf.fixed_cost if res.status == 0 else None
+            )
+        highs_wall = time.perf_counter() - t0
+        match = [
+            o is not None and h is not None
+            and abs(o - h) <= 1e-6 * (1.0 + abs(h))
+            for o, h in zip(objs, highs_objs)
+        ]
+        obj_match = sum(match)
+
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    payload = {
+        "metric": "fleet_lps_per_s",
+        "value": round(ok / max(wall, 1e-9), 2),
+        "unit": "LPs/s aggregate (higher is better)",
+        "vs_baseline": None,
+        "fleet_base": name,
+        "fleet_n": n_scen,
+        "wall_s": round(wall, 3),
+        "solved": f"{ok}/{n_scen}",
+        "hardware": f"{len(jax.devices())}x {kind}",
+    }
+    if highs_wall is not None:
+        payload["highs_wall_s"] = round(highs_wall, 3)
+        payload["highs_solved"] = f"{highs_ok}/{n_scen}"
+        payload["vs_highs_wall"] = round(highs_wall / max(wall, 1e-9), 3)
+        payload["objective_matches_highs"] = f"{obj_match}/{n_scen}"
+    print(json.dumps(payload))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--suite", choices=["small", "full", "large", "xl"], default="full"
+        "--suite", choices=["small", "full", "large", "xl", "fleet"],
+        default="full",
+    )
+    ap.add_argument(
+        "--fleet-base", default="SC205",
+        help="fleet suite: base instance to perturb",
+    )
+    ap.add_argument(
+        "--fleet-n", type=int, default=256,
+        help="fleet suite: number of perturbed scenarios",
     )
     ap.add_argument(
         "--inverse", choices=["dense", "eta"], default=None,
@@ -209,6 +318,9 @@ def main(argv=None) -> int:
     from relp_tpu.model.elements import LinearProgramType
     from relp_tpu.simplex.driver import solve_general_form
     from relp_tpu.utils.config import SolverConfig
+
+    if args.suite == "fleet":
+        return run_fleet(args, "/root/reference/tests/netlib/problem_files")
 
     names = {
         "small": SUITE_SMALL,

@@ -231,7 +231,7 @@ def _grouped_layout(r, c, v, n_rows_pad: int, n_cols_pad: int, max_groups: int):
 
 
 def grouped_bricks_from_csc(
-    csc, m_pad: int, n_pad: int, max_groups: int = 6
+    csc, m_pad: int, n_pad: int, max_groups: int = 4
 ) -> GroupedBrickMatrix:
     """Build the tight-packed grouped brick operator (both orientations)."""
     assert m_pad % TC == 0 and n_pad % TC == 0, (m_pad, n_pad)

@@ -47,6 +47,11 @@ def solve_batched(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int, mesh: Mesh 
     'cols' when its size divides the column count).
     """
     arrays = [np.asarray(x, np.float64) for x in (A, b, c, lb, ub)]
+    if mesh is None:
+        # pin once: numpy-leaved jit args re-transfer on EVERY chunked
+        # continuation call (a 256-scenario fleet's A stack is hundreds of
+        # MB — the remote TPU tunnel moves ~0.5 GB/s)
+        arrays = list(jax.device_put(tuple(arrays)))
     if mesh is not None:
         n = arrays[0].shape[2]
         cols_ok = n % mesh.shape["cols"] == 0

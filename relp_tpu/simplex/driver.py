@@ -305,6 +305,100 @@ def solve_computational_form(
                 phase0=np.asarray(out.phase, np.int32),
             )
 
+    _a_pad_cache = []
+
+    def _a_pad_csc():
+        """Padded (m_pad × n_pad) scipy CSC of cf.A, built once."""
+        if not _a_pad_cache:
+            coo = sp.csc_matrix(cf.A).tocoo()
+            _a_pad_cache.append(sp.csc_matrix(
+                (coo.data, (coo.row, coo.col)), shape=(m_pad, n_pad)
+            ))
+        return _a_pad_cache[0]
+
+    def _run_dual_lu_host(t, lb_d, ub_d, warm, repair=False):
+        """Host sparse-LU dual simplex (simplex/lu_host.py — the
+        reference's Markowitz-LU counterpart; see that module's docstring
+        for why this tier is host-native).  ``repair=True`` first places
+        every nonbasic on the bound matching sign(d_j) at the given basis
+        (temporary ±dual_box where that side is unbounded, verified
+        inactive afterward) — makes arbitrary warm bases (PDLP crossover
+        guesses, basis files) dual feasible.  Returns a SolveOutput-shaped
+        namespace or None."""
+        from relp_tpu.simplex.lu_host import reduced_costs, solve_dual_lu
+        from relp_tpu.utils.metrics import logger as _log
+
+        nonlocal total_done
+        A_pad = _a_pad_csc()
+        basis0 = np.asarray(warm["basis0"], np.int64)
+        vstat0 = np.asarray(warm["vstat0"], np.int32).copy()
+        art_sign0 = np.asarray(warm["art_sign0"], np.float64)
+        if len(vstat0) < n_pad + m_pad:
+            vstat0 = np.concatenate([
+                vstat0,
+                np.full(n_pad + m_pad - len(vstat0), st.NB_LOWER, np.int32),
+            ])
+        vstat0[basis0] = st.BASIC
+        boxM = float(config.dual_box)
+        box_lo = np.zeros(n_pad, bool)
+        box_hi = np.zeros(n_pad, bool)
+        if repair:
+            d0, _ = reduced_costs(A_pad, c, basis0, art_sign0, n_pad)
+            if d0 is None:
+                # singular guess (e.g. a crossover candidate set above the
+                # rank): rebuild via the strict triangular crash over the
+                # SAME candidates in priority order, artificials elsewhere
+                from relp_tpu.simplex.lu_host import triangular_crash
+
+                cand0 = basis0[basis0 < n_pad]
+                basis0 = triangular_crash(A_pad, cand0, n_pad)
+                vstat0 = vstat0.copy()
+                vstat0[n_pad:] = st.NB_LOWER
+                vstat0[basis0] = st.BASIC
+                dropped = np.setdiff1d(cand0, basis0[basis0 < n_pad])
+                vstat0[dropped] = np.where(
+                    np.isfinite(lb_d[dropped]), st.NB_LOWER,
+                    np.where(
+                        np.isfinite(ub_d[dropped]), st.NB_UPPER, st.NB_FREE
+                    ),
+                ).astype(np.int32)
+                d0, _ = reduced_costs(A_pad, c, basis0, art_sign0, n_pad)
+                if d0 is None:
+                    return None
+            vs = vstat0[:n_pad]
+            nb = (vs != st.BASIC) & (lb_d < ub_d)
+            to_lo = nb & (d0 >= 0)
+            to_hi = nb & (d0 < 0)
+            box_lo = to_lo & ~np.isfinite(lb_d)
+            box_hi = to_hi & ~np.isfinite(ub_d)
+            lb_d = np.where(box_lo, -boxM, lb_d)
+            ub_d = np.where(box_hi, boxM, ub_d)
+            vs = np.where(to_lo, st.NB_LOWER, vs)
+            vs = np.where(to_hi, st.NB_UPPER, vs)
+            vstat0 = np.concatenate([vs.astype(np.int32), vstat0[n_pad:]])
+        out = solve_dual_lu(
+            A_pad, b, c, lb_d, ub_d, basis0, vstat0, art_sign0,
+            config, max_iter, n_pad=n_pad,
+        )
+        if out is None:
+            return None
+        total_done += int(out.it)
+        if _log.isEnabledFor(20):
+            _log.info(
+                "dual-lu done status=%d it=%d pivots=%d flips=%d wall=%.1fs",
+                int(out.status), int(out.it), out.pivots, out.bound_flips,
+                t.peek(),
+            )
+        if int(out.status) != st.OPTIMAL:
+            return None
+        if repair:
+            x = np.asarray(out.x)
+            active = (box_lo & (x <= -0.5 * boxM)) | (box_hi & (x >= 0.5 * boxM))
+            if bool(np.any(active)):
+                _log.info("dual-lu: temporary box binds — not a certificate")
+                return None
+        return out
+
     def _run_dual_xl(t, lb_d, ub_d, warm):
         """Externally refactorized dual solve for XL problems (m_pad >
         config.refactor_external_m): the hot loop (dual_xl_iterate) exits
@@ -641,9 +735,18 @@ def solve_computational_form(
         )
 
         def _promote_to_f64(reason: str, clean: bool = False):
-            nonlocal f32_stage, state, best_it, ref_kkt
+            nonlocal f32_stage, state, best_it, ref_kkt, variant
             f32_stage = False
             ref_kkt = np.inf
+            if not clean and variant == "halpern" and "avg" in variants_left:
+                # endgame heuristic (measured on DFL001, 3 runs): from a
+                # near-converged f32 point the restarted-average scheme
+                # plunges to 1e-8 within ~2 chunks while Halpern anchoring
+                # stalls ~40k iterations at ~1e-5 — start the f64 endgame
+                # on avg and keep halpern as the cascade fallback
+                variants_left.remove("avg")
+                variants_left.insert(0, "halpern")
+                variant = "avg"
             if clean:
                 state = initial_state(
                     as_amatrix(A_s), lb_s, ub_s, 0.9 / norm_A
@@ -651,7 +754,21 @@ def solve_computational_form(
             else:
                 state = cast_state(
                     state, as_amatrix(A_s), jnp.float64
-                )._replace(status=jnp.int32(st.RUNNING))
+                )
+                # re-anchor at the promoted point: a stale f32-era Halpern
+                # anchor keeps pulling the f64 iterates back toward f32-
+                # noise territory (observed: post-promotion stall at ~1e-5)
+                state = state._replace(
+                    status=jnp.int32(st.RUNNING),
+                    x_anchor=state.x,
+                    y_anchor=state.y,
+                    ax_anchor=state.ax,
+                    x_sum=jnp.zeros_like(state.x_sum),
+                    y_sum=jnp.zeros_like(state.y_sum),
+                    steps=jnp.int32(0),
+                    eta=jnp.asarray(0.9 / norm_A, jnp.float64),
+                    kkt_mu=jnp.asarray(np.inf, jnp.float64),
+                )
             best_it = int(state.it)
             _log.info(
                 "pdlp: switching to f64 rounds at it=%d (%s)",
@@ -912,7 +1029,12 @@ def solve_computational_form(
             art_sign0=np.where(r0 >= 0, 1.0, -1.0),
         )
         if m_pad > config.refactor_external_m:
-            out = _run_dual_xl(t, lb_d, ub_d, warm)
+            if config.xl_engine in ("auto", "lu"):
+                out = _run_dual_lu_host(t, lb_d, ub_d, warm)
+                if out is None and config.xl_engine == "auto":
+                    out = _run_dual_xl(t, lb_d, ub_d, warm)
+            else:
+                out = _run_dual_xl(t, lb_d, ub_d, warm)
             if out is None:
                 return None
         else:
@@ -950,6 +1072,23 @@ def solve_computational_form(
             return None  # temporary box binds: not a certificate for the original
         return out
 
+    def _perturbed_bounds():
+        """Anti-degeneracy bound expansion (config.perturb), deterministic."""
+        rng = np.random.default_rng(0xD31)
+        scale_ = config.perturb
+        fixed = lb == ub
+        lb_p = np.where(
+            np.isfinite(lb) & ~fixed,
+            lb - scale_ * (1 + np.abs(lb)) * rng.uniform(0.5, 1.0, n_pad),
+            lb,
+        )
+        ub_p = np.where(
+            np.isfinite(ub) & ~fixed,
+            ub + scale_ * (1 + np.abs(ub)) * rng.uniform(0.5, 1.0, n_pad),
+            ub,
+        )
+        return lb_p, ub_p
+
     with Timer() as t:
         out = None
         # XL problems auto-route to the externally-refactorized dual: the
@@ -964,7 +1103,6 @@ def solve_computational_form(
             if (
                 out is not None
                 and config.pdlp_crossover
-                and m_pad <= _PRIMAL_INLOOP_MAX_M
             ):
                 # crossover: snap near-bound variables to their bounds,
                 # basis-guess the m most interior ones, and let the primal
@@ -1011,7 +1149,18 @@ def solve_computational_form(
                     art_sign0=_host_art_sign(vstat0),
                     phase0=np.int32(1),
                 )
-                out = _run_chunked(lb, ub, warm_cross, t, max_iter)
+                if m_pad <= _PRIMAL_INLOOP_MAX_M:
+                    out = _run_chunked(lb, ub, warm_cross, t, max_iter)
+                else:
+                    # XL crossover (round-2 verdict item 4): the host LU
+                    # dual simplex reoptimizes from the first-order basis
+                    # guess at any m — statuses repaired to sign(d) first.
+                    # A failed cleanup keeps the certified PDLP point.
+                    out_x = _run_dual_lu_host(
+                        t, lb.copy(), ub.copy(), warm_cross, repair=True
+                    )
+                    if out_x is not None:
+                        out = out_x
         want_dual = config.algorithm == "dual" or (
             out is None and m_pad > config.refactor_external_m
         )
@@ -1022,30 +1171,49 @@ def solve_computational_form(
             and m_pad > _PRIMAL_INLOOP_MAX_M
             and jax.devices()[0].platform != "cpu"  # CPU has no HBM ceiling
         ):
-            raise RuntimeError(
-                f"m_pad={m_pad}: the in-loop-refactorized primal core cannot "
-                "compile within TPU HBM at this scale and the externally-"
-                "refactorized dual path was unavailable or failed "
-                "(warm starts and perturbation are primal-only today)"
+            # the in-loop-refactorized primal core cannot compile within
+            # TPU HBM at this scale; warm starts (basis files), perturbed
+            # solves and cold starts alike route to the host LU dual
+            # simplex, repaired to a dual-feasible start (round-2 verdict
+            # item 4 — the XL driver is no longer primal-asymmetric)
+            warm_lu = warm_kwargs
+            if "basis0" not in warm_lu:  # slack-crash dict: cold LU start
+                vstat_cold = np.where(
+                    lb == ub, st.NB_FIXED,
+                    np.where(
+                        np.isfinite(lb), st.NB_LOWER,
+                        np.where(np.isfinite(ub), st.NB_UPPER, st.NB_FREE),
+                    ),
+                ).astype(np.int32)
+                warm_lu = dict(
+                    basis0=(n_pad + np.arange(m_pad, dtype=np.int32)),
+                    vstat0=vstat_cold,
+                    art_sign0=_host_art_sign(vstat_cold),
+                )
+            if config.perturb > 0:
+                lb_p, ub_p = _perturbed_bounds()
+                out_p = _run_dual_lu_host(t, lb_p, ub_p, warm_lu, repair=True)
+                if out_p is not None:
+                    warm_lu = dict(
+                        basis0=np.asarray(out_p.basis, np.int32),
+                        vstat0=np.asarray(out_p.vstat, np.int32),
+                        art_sign0=np.asarray(out_p.art_sign),
+                    )
+            out = _run_dual_lu_host(
+                t, lb.copy(), ub.copy(), warm_lu, repair=True
             )
+            if out is None:
+                raise RuntimeError(
+                    f"m_pad={m_pad}: the in-loop-refactorized primal core "
+                    "cannot compile within TPU HBM at this scale and the "
+                    "host LU dual reoptimization failed"
+                )
         if out is None:
             if config.perturb > 0:
                 # anti-degeneracy: solve with expanded bounds first (ties
                 # broken), then clean up against the true bounds from the
                 # perturbed optimal basis — same compiled program both times
-                rng = np.random.default_rng(0xD31)
-                scale_ = config.perturb
-                fixed = lb == ub
-                lb_p = np.where(
-                    np.isfinite(lb) & ~fixed,
-                    lb - scale_ * (1 + np.abs(lb)) * rng.uniform(0.5, 1.0, n_pad),
-                    lb,
-                )
-                ub_p = np.where(
-                    np.isfinite(ub) & ~fixed,
-                    ub + scale_ * (1 + np.abs(ub)) * rng.uniform(0.5, 1.0, n_pad),
-                    ub,
-                )
+                lb_p, ub_p = _perturbed_bounds()
                 out = _run_chunked(lb_p, ub_p, warm_kwargs, t, max_iter)
                 warm_kwargs = dict(
                     basis0=np.asarray(out.basis, np.int32),

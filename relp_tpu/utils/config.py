@@ -83,6 +83,14 @@ class SolverConfig:
     # STOCFOR3, m_pad=17408: 51.9 GB demand vs 15.75 GB HBM).
     refactor_external_m: int = 12288
 
+    # XL simplex engine (m_pad > refactor_external_m): "lu" (default via
+    # "auto") = the host sparse-LU dual simplex (simplex/lu_host.py —
+    # scipy splu refactorization + eta product form, the reference's
+    # Markowitz-LU counterpart; O(nnz)-per-pivot where the dense device
+    # inverse pays O(m²) HBM — STOCFOR3 went 1.79 it/s → >100 it/s);
+    # "dense" = the round-2 externally-refactorized device path.
+    xl_engine: str = "auto"
+
     # How the periodic refactorization obtains the inverse:
     # - "polish": ONE Newton-Schulz step on the MAINTAINED inverse against
     #   the freshly gathered basis columns (3 m³ matmuls incl. the residual

@@ -1,0 +1,91 @@
+"""Host sparse-LU dual simplex (simplex/lu_host.py) — the reference's
+Markowitz-LU counterpart (lower_upper/mod.rs:35-391) for the XL tier.
+
+Routed by the driver when m_pad > config.refactor_external_m (forced tiny
+here so small Netlib instances exercise the path on CPU)."""
+
+import numpy as np
+import pytest
+
+import relp_tpu  # noqa: F401
+from relp_tpu.api import solve
+from relp_tpu.model.elements import LinearProgramType
+from relp_tpu.utils.config import SolverConfig
+from tests.conftest import reference_problem
+
+CASES = [
+    ("SHARE1B", -76589.31857918046, 1e-9),
+    ("SC205", -52.202061211707246, 1e-9),
+    ("BOEING2", -315.01872801520287, 1e-9),
+    ("BORE3D", 1373.0803942084927, 1e-9),
+]
+
+
+@pytest.mark.parametrize("name,expected,rel", CASES)
+def test_dual_lu_route_matches_reference_objectives(name, expected, rel):
+    res = solve(
+        reference_problem("netlib", f"{name}.SIF"),
+        SolverConfig(algorithm="dual", refactor_external_m=32, xl_engine="lu"),
+    )
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert res.solution.objective_value == pytest.approx(expected, rel=rel)
+
+
+def test_dual_lu_infeasible_detection():
+    # x >= 2, x <= 1 after rows: 1*x >= 2 and 1*x <= 1 — primal infeasible
+    import scipy.sparse as sp
+
+    from relp_tpu.simplex import status as st
+    from relp_tpu.simplex.lu_host import solve_dual_lu
+
+    A = sp.csc_matrix(np.array([[1.0], [1.0]]))
+    b = np.array([2.0, 1.0])
+    # equalities with slacks folded as bounds is the cf form; emulate with
+    # two equality rows sharing x — inconsistent b makes it infeasible
+    basis0 = np.array([1, 2])  # artificials
+    vstat0 = np.array([st.NB_LOWER, st.BASIC, st.BASIC], np.int32)
+    out = solve_dual_lu(
+        A, b, np.array([1.0]), np.array([0.0]), np.array([10.0]),
+        basis0, vstat0, np.ones(2), SolverConfig(), 1000, n_pad=1,
+    )
+    assert int(out.status) == st.INFEASIBLE
+
+
+def test_xl_crossover_via_lu(monkeypatch):
+    """PDLP + crossover above the primal in-loop ceiling: the host LU dual
+    reoptimizes the first-order basis guess to an exact vertex (round-2
+    verdict item 4)."""
+    import relp_tpu.simplex.driver as drv
+
+    monkeypatch.setattr(drv, "_PRIMAL_INLOOP_MAX_M", 16)
+    res = solve(
+        reference_problem("netlib", "ADLITTLE.SIF"),
+        SolverConfig(
+            algorithm="pdlp", pdlp_crossover=True,
+            refactor_external_m=1 << 30,
+        ),
+    )
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert res.simplex.basis is not None  # exact vertex, not a PDLP point
+    assert res.solution.objective_value == pytest.approx(
+        225494.96316238036, rel=1e-9
+    )
+
+
+def test_xl_warm_start_basis_route(monkeypatch):
+    """Basis-file warm start above the primal ceiling routes to the LU
+    engine instead of raising (the round-2 asymmetry): the vendored
+    unicamp model/basis pair, ceiling forced below m_pad."""
+    import relp_tpu.simplex.driver as drv
+    from relp_tpu.io import import_lp
+    from relp_tpu.io.basis_file import import_basis
+    from relp_tpu.simplex.driver import solve_general_form
+
+    problem = reference_problem("unicamp", "model_data_1.mps")
+    basis = import_basis(reference_problem("unicamp", "basis_data_1.mps"))
+    monkeypatch.setattr(drv, "_PRIMAL_INLOOP_MAX_M", 1)
+    res = solve_general_form(
+        import_lp(problem), SolverConfig(presolve=False), initial_basis=basis
+    )
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert res.solution.objective_value == pytest.approx(123 / 38, rel=1e-9)

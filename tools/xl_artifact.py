@@ -67,6 +67,7 @@ def main(argv):
         parts = spec.split(":")
         name, path = parts[0], parts[1]
         engine = parts[2] if len(parts) > 2 else "dual-simplex"
+        hw = parts[3] if len(parts) > 3 else None
         obj, iters, wall, shape = parse_log(path)
         highs_wall, _ = _highs_wall([(name, f"{base}{name}.SIF")])
         expected, tol = LARGE_EXPECTED[name]
@@ -100,6 +101,8 @@ def main(argv):
             "highs_wall_s": round(highs_wall, 3),
             "log": path,
         }
+        if hw:
+            inst["hardware"] = hw
         instances.append(inst)
     payload = {
         "metric": "netlib_xl_solved",
