@@ -113,10 +113,17 @@ def _device_matrix(cf: ComputationalForm, m_pad: int, n_pad: int, config: Solver
             # 2026-08-17: the TPU remote compile helper SIGABRTs (XLA
             # HloReplicationAnalysis check failure) on every dense-A core
             # program, including ones it compiled earlier the same day;
-            # ELL programs compile fine.  Until the helper recovers, auto
-            # never picks dense on accelerators — dense stays available
-            # via config.matrix_format="dense".
-            fmt = "ell"
+            # ELL programs compile fine.  Re-probed 2026-08-19: still
+            # broken (runs/probe_dense_r3.log, tuple_tree.h check).  Until
+            # the helper recovers, auto never picks dense on accelerators —
+            # dense stays available via config.matrix_format="dense", and
+            # bench.py's per-session probe sets RELP_TPU_DENSE_OK=1 the day
+            # the helper works again (restoring the round-1 dense wall on
+            # small instances, VERDICT r2 weak #4).
+            if os.environ.get("RELP_TPU_DENSE_OK") == "1":
+                fmt = "ell" if (m_pad >= 1024 and k_true * 8 <= m_pad) else "dense"
+            else:
+                fmt = "ell"
     if fmt == "ell" and 0 < n_spill <= 64:
         fmt = "hybrid"
     if fmt == "hybrid":
@@ -734,9 +741,98 @@ def solve_computational_form(
             10.0 * float(config.pdlp_accept), 100.0 * float(config.pdlp_tol)
         )
 
+        # ---- iterative-refinement frame (config.pdlp_refine): when the
+        # f32 stage floors, zoom into the residual problem instead of
+        # paying for limb-emulated f64 rounds.  The frame is (xbar, ybar,
+        # dp): the f32 state then solves  min dᵀe  s.t. A e = dp·r,
+        # dp·(lb−xbar) ≤ e ≤ dp·(ub−xbar)  with r = b − A·xbar and
+        # d = c − Aᵀybar computed in f64; the composite full-problem point
+        # is X = xbar + x/dp, Y = ybar + y.  Same device operator for
+        # every subproblem — only the O(n+m) vectors change. ----
+        xbar = None  # None ⇒ base frame (state solves the full problem)
+        ybar = None
+        dp_zoom = 1.0
+        refines_left = int(config.pdlp_refine) if f32_stage else 0
+        kkt_at_refine = np.inf
+
+        def _composite():
+            """Full-problem (X, Y) of the current state, f64 numpy."""
+            X = np.asarray(state.x, np.float64)
+            Y = np.asarray(state.y, np.float64)
+            if xbar is not None:
+                X = xbar + X / dp_zoom
+                Y = ybar + Y
+            return X, Y
+
+        def _refine(reason: str) -> bool:
+            """Zoom the f32 stage into the current residual problem."""
+            nonlocal xbar, ybar, dp_zoom, state, b32, c32, lb32, ub32
+            nonlocal best_it, ref_kkt, refines_left, kkt_at_refine
+            if (
+                refines_left <= 0
+                or not np.isfinite(best_kkt)
+                # each zoom must have bought ≥4× before the next is funded
+                or not best_kkt < 0.25 * kkt_at_refine
+            ):
+                return False
+            X, Y = best_xy if best_xy is not None else _composite()
+            lbn, ubn = np.asarray(lb_s), np.asarray(ub_s)
+            X = np.minimum(np.maximum(X, lbn), ubn)
+            op = as_amatrix(A_s)
+            r = np.asarray(b_s, np.float64) - np.asarray(
+                op.matvec(jnp.asarray(X)), np.float64
+            )
+            d = np.asarray(c_s, np.float64) - np.asarray(
+                op.rmatvec(jnp.asarray(Y)), np.float64
+            )
+            dp_new = float(np.clip(
+                1.0 / max(float(np.max(np.abs(r))), 1e-14), 1.0, 1e14
+            ))
+            # e = 0 must stay feasible (X is in-bounds by construction);
+            # the ±1e30 cap keeps far-away bounds finite in f32 — a trust
+            # region that only binds on a step the zoom scale rules out
+            with np.errstate(invalid="ignore"):
+                lo = np.where(
+                    np.isfinite(lbn),
+                    np.clip((lbn - X) * dp_new, -1e30, 0.0), -np.inf,
+                )
+                hi = np.where(
+                    np.isfinite(ubn),
+                    np.clip((ubn - X) * dp_new, 0.0, 1e30), np.inf,
+                )
+            b32, c32, lb32, ub32 = (
+                jax.device_put(jnp.asarray(v, jnp.float32))
+                for v in (dp_new * r, d, lo, hi)
+            )
+            xbar, ybar, dp_zoom = X, Y, dp_new
+            state = initial_state(
+                A32, lb32, ub32, 0.9 / norm_A, dtype=jnp.float32
+            )._replace(it=state.it)
+            refines_left -= 1
+            kkt_at_refine = best_kkt
+            best_it = int(state.it)
+            ref_kkt = np.inf
+            _log.info(
+                "pdlp: refinement zoom at it=%d (dp=%.1e, %s, %d left)",
+                int(state.it), dp_new, reason, refines_left,
+            )
+            return True
+
         def _promote_to_f64(reason: str, clean: bool = False):
             nonlocal f32_stage, state, best_it, ref_kkt, variant
+            nonlocal xbar, ybar, dp_zoom
+            carry_it = state.it
+            omega64 = jnp.asarray(float(state.omega), jnp.float64)
+            if clean and best_xy is not None:
+                # a diverged stage still leaves the best snapshot — a far
+                # better f64 start than from-scratch
+                Xp, Yp = best_xy
+                clean = False
+            elif not clean:
+                Xp, Yp = _composite()
             f32_stage = False
+            xbar = ybar = None
+            dp_zoom = 1.0
             ref_kkt = np.inf
             if not clean and variant == "halpern" and "avg" in variants_left:
                 # endgame heuristic (measured on DFL001, 3 runs): from a
@@ -750,24 +846,21 @@ def solve_computational_form(
             if clean:
                 state = initial_state(
                     as_amatrix(A_s), lb_s, ub_s, 0.9 / norm_A
-                )._replace(it=state.it)
+                )._replace(it=carry_it)
             else:
-                state = cast_state(
-                    state, as_amatrix(A_s), jnp.float64
-                )
                 # re-anchor at the promoted point: a stale f32-era Halpern
                 # anchor keeps pulling the f64 iterates back toward f32-
                 # noise territory (observed: post-promotion stall at ~1e-5)
-                state = state._replace(
-                    status=jnp.int32(st.RUNNING),
-                    x_anchor=state.x,
-                    y_anchor=state.y,
-                    ax_anchor=state.ax,
-                    x_sum=jnp.zeros_like(state.x_sum),
-                    y_sum=jnp.zeros_like(state.y_sum),
-                    steps=jnp.int32(0),
-                    eta=jnp.asarray(0.9 / norm_A, jnp.float64),
-                    kkt_mu=jnp.asarray(np.inf, jnp.float64),
+                lbn, ubn = np.asarray(lb_s), np.asarray(ub_s)
+                xd = jnp.asarray(np.minimum(np.maximum(Xp, lbn), ubn))
+                yd = jnp.asarray(np.asarray(Yp, np.float64))
+                axd = as_amatrix(A_s).matvec(xd)
+                state = initial_state(
+                    as_amatrix(A_s), lb_s, ub_s, 0.9 / norm_A
+                )._replace(
+                    it=carry_it, x=xd, y=yd, ax=axd,
+                    x_anchor=xd, y_anchor=yd, ax_anchor=axd,
+                    omega=omega64,
                 )
             best_it = int(state.it)
             _log.info(
@@ -791,6 +884,7 @@ def solve_computational_form(
             1, min(rounds_cap, 4_000_000 // max(m_pad + n_pad, 1))
         )
         best_kkt, best_it = np.inf, 0
+        last_kkt64 = np.inf
         best_xy = None  # snapshot of the best-KKT point (adaptive PDHG can
         # REGRESS after nearly converging — ω rebalance instability — and
         # the last iterate is then worse than the best one seen)
@@ -850,29 +944,49 @@ def solve_computational_form(
                 variant=variant,
             )
             state = jax.block_until_ready(state)
-            # the f32 stage's self-reported KKT carries ~1e-7 SpMV noise:
-            # every decision below uses the f64 KKT of the same point
+            # the f32 stage's self-reported KKT carries ~1e-7 SpMV noise
+            # (and, in a refinement frame, describes the SUBPROBLEM):
+            # every decision below uses the f64 full-problem KKT of the
+            # composite point
             if f32_stage:
+                Xc, Yc = _composite()
                 kkt64 = float(kkt_residual(
                     A_s, b_s, c_s, lb_s, ub_s,
-                    state.x.astype(jnp.float64),
-                    state.y.astype(jnp.float64),
+                    jnp.asarray(Xc), jnp.asarray(Yc),
                 ))
             else:
                 kkt64 = float(state.kkt)
+            last_kkt64 = kkt64
             if _log.isEnabledFor(20):
                 _log.info(
                     "pdlp chunk it=%d kkt=%.3e%s omega=%.3e obj=%.9e wall=%.1fs",
                     int(state.it), kkt64, " (f32 rounds)" if f32_stage else "",
                     float(state.omega),
-                    float(np.asarray(c_s) @ np.asarray(state.x, np.float64)),
+                    float(np.asarray(c_s) @ (
+                        Xc if f32_stage
+                        else np.asarray(state.x, np.float64)
+                    )),
                     t.peek(),
                 )
+            if kkt64 < float(config.pdlp_tol):
+                # the COMPOSITE point converged — the state's own status
+                # can lag (a refinement subproblem never reaches tol in
+                # its own frame; its inner KKT measures the subproblem)
+                best_kkt = kkt64
+                best_xy = (
+                    (Xc, Yc) if f32_stage
+                    else (np.asarray(state.x, np.float64).copy(),
+                          np.asarray(state.y, np.float64).copy())
+                )
+                accepted = True
+                break
             if int(state.status) != st.RUNNING:
-                if not f32_stage or kkt64 < float(config.pdlp_tol):
+                if not f32_stage:
                     break
-                # f32 rounds declared optimal but the f64 KKT disagrees
-                _promote_to_f64("f32 optimality unconfirmed in f64")
+                # the f32/inner rounds declared optimal but the composite
+                # f64 KKT disagrees: zoom again if funded, else go f64
+                if not _refine("inner optimum above tol in f64"):
+                    _promote_to_f64("f32 optimality unconfirmed in f64")
                 continue
             # plateau detection: the f64 relative-KKT floor can sit above
             # pdlp_tol (config.pdlp_accept docstring) — stop burning
@@ -903,16 +1017,23 @@ def solve_computational_form(
             if kkt64 < best_kkt:
                 best_kkt = kkt64
                 best_xy = (
-                    np.asarray(state.x, np.float64).copy(),
-                    np.asarray(state.y, np.float64).copy(),
+                    (Xc, Yc) if f32_stage
+                    else (np.asarray(state.x, np.float64).copy(),
+                          np.asarray(state.y, np.float64).copy())
                 )
             if kkt64 < 0.9 * ref_kkt:
                 # beyond-noise progress (relative to the CURRENT scheme's
                 # reference): reset the plateau clock
                 ref_kkt = kkt64
                 best_it = int(state.it)
-            if f32_stage and best_kkt <= f32_until:
-                _promote_to_f64(f"f64 endgame territory (kkt={best_kkt:.1e})")
+            if f32_stage and xbar is None and best_kkt <= f32_until:
+                # the BASE f32 stage reached endgame territory: zoom via
+                # refinement if funded, else hand off to f64 rounds (in a
+                # refinement frame this is the plateau logic's job)
+                if not _refine(f"zoom at kkt={best_kkt:.1e}"):
+                    _promote_to_f64(
+                        f"f64 endgame territory (kkt={best_kkt:.1e})"
+                    )
                 continue
             # plateau window scales with how long progress took so far:
             # XL-tier instances need hundreds of thousands of iterations,
@@ -937,11 +1058,6 @@ def solve_computational_form(
             ):
                 if best_kkt <= float(config.pdlp_accept):
                     accepted = True
-                    if best_xy is not None:
-                        state = state._replace(
-                            x=jnp.asarray(best_xy[0]),
-                            y=jnp.asarray(best_xy[1]),
-                        )
                     _log.info(
                         "pdlp plateau at it=%d: accepting best kkt=%.3e "
                         "(tol=%.1e unreached, accept=%.1e)",
@@ -950,8 +1066,12 @@ def solve_computational_form(
                     )
                 elif f32_stage:
                     # stalled above the accept bar while still in f32:
-                    # the precision floor is the first suspect
-                    _promote_to_f64(f"f32 plateau at kkt={best_kkt:.1e}")
+                    # the precision floor is the first suspect — zoom if
+                    # the last zoom paid for itself, else go f64
+                    if not _refine(f"f32 plateau at kkt={best_kkt:.1e}"):
+                        _promote_to_f64(
+                            f"f32 plateau at kkt={best_kkt:.1e}"
+                        )
                     continue
                 elif variants_left:
                     _log.info(
@@ -974,12 +1094,20 @@ def solve_computational_form(
         total_done += int(state.it)
         if int(state.status) != st.OPTIMAL and not accepted:
             return None
+        # the returned point: the best-KKT snapshot when plateau-accepted,
+        # else the final composite (full-problem coordinates either way)
+        if accepted and best_xy is not None:
+            X_fin, Y_fin = best_xy
+            kkt_fin = best_kkt
+        else:
+            X_fin, Y_fin = _composite()
+            kkt_fin = last_kkt64
         from types import SimpleNamespace
 
         x_s = np.empty(np_)
-        x_s[cpad] = np.asarray(state.x)
+        x_s[cpad] = X_fin
         y_s = np.empty(mp)
-        y_s[rpad] = np.asarray(state.y)
+        y_s[rpad] = Y_fin
         x_np = d_c * x_s[:n_pad]
         y_s = y_s[:m_pad]
         r_prim = float(np.max(np.abs(
@@ -997,7 +1125,7 @@ def solve_computational_form(
             obj=np.float64(c @ x_np),
             art_sign=np.ones(m_pad),
             trace=np.zeros((0, 8), np.float32),
-            viol=np.float64(float(state.kkt)),
+            viol=np.float64(kkt_fin),
             vertex=False,  # first-order point: basis/vstat are placeholders
         )
 

@@ -196,6 +196,16 @@ class SolverConfig:
     # endgame once f32 stalls (its fixed-point floor is ~1e-6 relative);
     # "f64" = everything in f64.  Acceptance ALWAYS uses the f64 KKT.
     pdlp_precision: str = "auto"
+    # Iterative refinement for the mixed-precision PDLP path: once the f32
+    # stage floors, zoom into the RESIDUAL problem (min dᵀe s.t. Ae = r,
+    # lb−x ≤ e ≤ ub−x with r = b−Ax, d = c−Aᵀy in f64; rhs/bounds scaled
+    # by 1/‖r‖∞ so the f32 iteration works at O(1) magnitudes — the LP
+    # iterative-refinement scheme of Gleixner et al., primal zoom) instead
+    # of paying for limb-emulated f64 rounds.  The SAME device operator
+    # serves every subproblem (only O(n+m) vectors change → no
+    # recompilation).  Value = max refinement rounds; 0 disables (the f64
+    # endgame path is the fallback either way).
+    pdlp_refine: int = 4
     # PDHG device matrix: "bricks" re-tiles the nonzeros into (8, 128)
     # dense bricks gathered as 128-lane rows — TPU element gathers are
     # serial (~14 ns/element; tools/probe_gather_layouts.py), so the ELL

@@ -243,3 +243,51 @@ def test_pdlp_mixed_precision_full_kkt():
     assert res.solution.objective_value == pytest.approx(
         -52.202061211707248, rel=1e-6
     )
+
+
+def test_pdlp_refinement_zoom_converges(caplog):
+    """Iterative refinement (config.pdlp_refine, VERDICT r3 perf work):
+    once the f32 stage floors, the driver zooms into the scaled residual
+    problem (r = b−Ax, d = c−Aᵀy; LP iterative refinement à la Gleixner)
+    and keeps iterating in f32 — ISRAEL's f32 noise floor is ~2e-3, so
+    reaching its objective to 1e-6 under precision="mixed" proves the
+    zoom engaged and composited correctly (without refinement this path
+    needed limb-emulated f64 endgame rounds)."""
+    import logging
+
+    from relp_tpu.api import solve
+
+    with caplog.at_level(logging.INFO, logger="relp_tpu"):
+        res = solve(
+            reference_problem("netlib", "ISRAEL.SIF"),
+            config=SolverConfig(
+                algorithm="pdlp",
+                pdlp_crossover=False,
+                pdlp_precision="mixed",
+                pdlp_refine=4,
+            ),
+        )
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert res.solution.objective_value == pytest.approx(
+        -8.966448218e5, rel=1e-6
+    )
+    assert any("refinement zoom" in r.message for r in caplog.records)
+
+
+def test_pdlp_refinement_disabled_still_converges():
+    """pdlp_refine=0 must fall back to the f64-endgame path unchanged."""
+    from relp_tpu.api import solve
+
+    res = solve(
+        reference_problem("netlib", "SHARE1B.SIF"),
+        config=SolverConfig(
+            algorithm="pdlp",
+            pdlp_crossover=False,
+            pdlp_precision="mixed",
+            pdlp_refine=0,
+        ),
+    )
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert res.solution.objective_value == pytest.approx(
+        -7.6589318579e4, rel=1e-6
+    )
