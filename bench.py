@@ -172,8 +172,8 @@ def run_fleet(args, base_dir) -> int:
     n_scen = args.fleet_n
     path = f"{base_dir}/{name}.SIF"
     rng = np.random.default_rng(20260819)
-    zb = rng.standard_normal((n_scen, 10_000))
-    zc = rng.standard_normal((n_scen, 10_000))
+    zb = rng.standard_normal((n_scen, 30_000))
+    zc = rng.standard_normal((n_scen, 30_000))
 
     def scenarios():
         gens = []
@@ -185,7 +185,15 @@ def run_fleet(args, base_dir) -> int:
             gens.append(gf)
         return gens
 
-    config = SolverConfig()
+    # default engine: the first-order fleet (_solve_fleet_pdlp) — every
+    # scenario shares A, so the vmapped SpMVs fuse into ONE MXU GEMM per
+    # step; one host HiGHS base solve warm-starts the whole fleet
+    # (presolve off keeps the A stack shared).  "simplex" = the vmapped
+    # two-phase core (exactness path).
+    config = SolverConfig(
+        algorithm="pdlp" if args.fleet_engine == "pdlp" else "primal",
+        presolve=args.fleet_engine != "pdlp",
+    )
     # compile warmup on a small prefix fleet; the vmapped program's shape
     # depends on the batch size, so warm the FULL batch shape once
     solve_general_forms_batched(scenarios(), config)
@@ -242,6 +250,7 @@ def run_fleet(args, base_dir) -> int:
         "vs_baseline": None,
         "fleet_base": name,
         "fleet_n": n_scen,
+        "fleet_engine": args.fleet_engine,
         "wall_s": round(wall, 3),
         "solved": f"{ok}/{n_scen}",
         "hardware": f"{len(jax.devices())}x {kind}",
@@ -262,12 +271,18 @@ def main(argv=None) -> int:
         default="full",
     )
     ap.add_argument(
-        "--fleet-base", default="SC205",
-        help="fleet suite: base instance to perturb",
+        "--fleet-base", default="SCTAP2",
+        help="fleet suite: base instance to perturb (SCTAP2: the warm-"
+             "started first-order fleet converges in ~8k iterations)",
     )
     ap.add_argument(
         "--fleet-n", type=int, default=256,
         help="fleet suite: number of perturbed scenarios",
+    )
+    ap.add_argument(
+        "--fleet-engine", choices=["pdlp", "simplex"], default="pdlp",
+        help="fleet suite solver: shared-A GEMM-fused PDHG (default) or "
+             "the vmapped two-phase simplex core",
     )
     ap.add_argument(
         "--inverse", choices=["dense", "eta"], default=None,

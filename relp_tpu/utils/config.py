@@ -206,6 +206,12 @@ class SolverConfig:
     # recompilation).  Value = max refinement rounds; 0 disables (the f64
     # endgame path is the fallback either way).
     pdlp_refine: int = 4
+    # Fleet solves (solve_general_forms_batched with algorithm="pdlp"):
+    # warm-start every scenario from ONE host (scipy HiGHS) solve of
+    # scenario 0 — the scenario-analysis workload perturbs a common base,
+    # so the fleet only iterates out the perturbation delta.  The base
+    # solve's wall is inside the fleet call (timed with it).
+    pdlp_fleet_warm: bool = True
     # PDHG device matrix: "bricks" re-tiles the nonzeros into (8, 128)
     # dense bricks gathered as 128-lane rows — TPU element gathers are
     # serial (~14 ns/element; tools/probe_gather_layouts.py), so the ELL

@@ -22,3 +22,51 @@ def test_batched_netlib_trio():
     for (name, expected, tol), res in zip(EXPECTED, results):
         assert res.kind is LinearProgramType.FINITE_OPTIMUM, name
         assert res.solution.objective_value == pytest.approx(expected, abs=tol), name
+
+
+def test_fleet_pdlp_scenarios_match_highs():
+    """Shared-A first-order fleet (driver._solve_fleet_pdlp): perturbed
+    same-base scenarios solved as ONE vmapped PDHG program with the
+    operator unbatched (per-scenario SpMVs fuse into one GEMM), host
+    warm start, vectorized refinement zooms, and host straggler cleanup.
+    Objectives must match HiGHS solving each scenario independently."""
+    import numpy as np
+    from scipy.optimize import linprog
+
+    from relp_tpu.io import import_lp
+    from relp_tpu.model.computational_form import build_computational_form
+    from relp_tpu.model.elements import LinearProgramType
+    from relp_tpu.simplex.driver import solve_general_forms_batched
+    from relp_tpu.utils.config import SolverConfig
+    from tests.conftest import reference_problem
+
+    path = reference_problem("netlib", "SCTAP2.SIF")
+    rng = np.random.default_rng(7)
+    n_scen = 3
+    zb = rng.standard_normal((n_scen, 10_000))
+    zc = rng.standard_normal((n_scen, 10_000))
+
+    def scenarios():
+        gens = []
+        for s in range(n_scen):
+            gf = import_lp(path)
+            gf.b = gf.b * (1.0 + 0.03 * zb[s, : len(gf.b)])
+            for j, v in enumerate(gf.variables):
+                v.cost = v.cost * (1.0 + 0.03 * zc[s, j])
+            gens.append(gf)
+        return gens
+
+    cfg = SolverConfig(algorithm="pdlp", presolve=False, max_iter=200_000)
+    results = solve_general_forms_batched(scenarios(), cfg)
+    assert all(
+        r.kind is LinearProgramType.FINITE_OPTIMUM for r in results
+    ), [str(r.kind) for r in results]
+    for r, gf in zip(results, scenarios()):
+        cf = build_computational_form(gf, scale=False)
+        hr = linprog(cf.c, A_eq=cf.A, b_eq=cf.b,
+                     bounds=list(zip(cf.lb, cf.ub)), method="highs")
+        assert hr.status == 0
+        sigma = -1.0 if cf.maximize else 1.0
+        h = sigma * hr.fun + cf.fixed_cost
+        got = r.solution.objective_value
+        assert abs(got - h) <= 1e-6 * (1.0 + abs(h)), (got, h)

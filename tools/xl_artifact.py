@@ -37,6 +37,7 @@ SHAPES = {  # name -> (m_pad, n_pad, nnz)
 def parse_log(path: str):
     obj = wall = iters = None
     shape = None
+    first_chunk = last_chunk = None  # (it, wall) of first/last chunk line
     with open(path) as fh:
         for line in fh:
             m = re.match(r"^objective\s+(-?[\d.eE+]+)", line)
@@ -45,6 +46,15 @@ def parse_log(path: str):
             m = re.match(r"^iterations\s+(\d+)\s+wall_s\s+([\d.]+)", line)
             if m:
                 iters, wall = int(m.group(1)), float(m.group(2))
+            # remote-tunnel compile time shows up as the wall of the FIRST
+            # chunk line; first→last chunk deltas give the steady-state
+            # iteration rate independent of a cold process's compile wall
+            m = re.search(r"chunk it=(\d+) .*wall=([\d.]+)s", line)
+            if m:
+                pt = (int(m.group(1)), float(m.group(2)))
+                if first_chunk is None:
+                    first_chunk = pt
+                last_chunk = pt
             # the CLI's RELP_TPU_LOG solve line carries the true padded
             # shapes and nnz — prefer those over the static SHAPES table
             m = re.search(r"relp_tpu solve (\{.*\})", line)
@@ -52,9 +62,25 @@ def parse_log(path: str):
                 try:
                     d = json.loads(m.group(1))
                     shape = (d["m_padded"], d["n_padded"], d["nnz"])
+                    wall = d.get("wall_s", wall)
+                    iters = d.get("iterations", iters)
                 except (ValueError, KeyError):
                     pass
-    return obj, iters, wall, shape
+            # r3 runner format: one final JSON line with the result
+            if line.startswith("{") and '"objective"' in line:
+                try:
+                    d = json.loads(line)
+                    obj = d.get("objective", obj)
+                    wall = d.get("wall_s", wall)
+                    iters = d.get("iterations", iters)
+                except ValueError:
+                    pass
+    steady = None
+    if first_chunk and last_chunk and last_chunk[1] > first_chunk[1]:
+        steady = (last_chunk[0] - first_chunk[0]) / (
+            last_chunk[1] - first_chunk[1]
+        )
+    return obj, iters, wall, shape, first_chunk, steady
 
 
 def main(argv):
@@ -68,7 +94,7 @@ def main(argv):
         name, path = parts[0], parts[1]
         engine = parts[2] if len(parts) > 2 else "dual-simplex"
         hw = parts[3] if len(parts) > 3 else None
-        obj, iters, wall, shape = parse_log(path)
+        obj, iters, wall, shape, first_chunk, steady = parse_log(path)
         highs_wall, _ = _highs_wall([(name, f"{base}{name}.SIF")])
         expected, tol = LARGE_EXPECTED[name]
         solved = obj is not None and abs(obj - expected) <= tol
@@ -101,6 +127,13 @@ def main(argv):
             "highs_wall_s": round(highs_wall, 3),
             "log": path,
         }
+        if first_chunk is not None and wall:
+            # cold-process remote compiles dominate the first chunk; the
+            # steady-state iteration rate (first→last chunk delta) is the
+            # honest throughput figure
+            inst["first_chunk_wall_s"] = round(first_chunk[1], 1)
+            if steady:
+                inst["steady_iters_per_s"] = round(steady, 2)
         if hw:
             inst["hardware"] = hw
         instances.append(inst)
