@@ -80,6 +80,14 @@ def main(argv=None) -> int:
         "+ f64 endgame, 2.4x faster on TPU; auto = mixed on accelerators)",
     )
     ap.add_argument(
+        "--pdlp-refine",
+        type=int,
+        default=4,
+        help="max iterative-refinement zooms for the mixed-precision PDHG "
+        "path (scaled residual subproblems keep the endgame in f32 rounds; "
+        "0 disables — the limb-emulated f64 endgame is the fallback)",
+    )
+    ap.add_argument(
         "--pdlp-accept",
         type=float,
         default=1e-6,
@@ -161,6 +169,7 @@ def main(argv=None) -> int:
         pdlp_matrix=args.pdlp_matrix,
         pdlp_variant=args.pdlp_variant,
         pdlp_precision=args.pdlp_precision,
+        pdlp_refine=args.pdlp_refine,
         pdlp_accept=args.pdlp_accept,
     )
 
