@@ -87,23 +87,30 @@ class DenseMatrix:
     # -- operator interface --------------------------------------------------
 
     def matvec(self, x):
-        """A @ x (f64)."""
-        return self.A @ x
+        """A @ x.  Full input precision: on TPU, f32 MXU matmuls default
+        to truncated bf16 inputs (8-bit mantissa) — PDHG iterations and
+        pricing confirmations need the genuine dtype (measured: the
+        shared-A fleet's f32 GEMM iteration stalls at KKT ~1e-1 under
+        the default, converges under HIGHEST; f64 emulation ignores the
+        flag, so the f64 paths are unaffected)."""
+        return jnp.matmul(self.A, x, precision=jax.lax.Precision.HIGHEST)
 
     def rmatvec(self, pi):
-        """πᵀ A (f64)."""
-        return pi @ self.A
+        """πᵀ A (full input precision — see matvec)."""
+        return jnp.matmul(pi, self.A, precision=jax.lax.Precision.HIGHEST)
 
     def rmatvec32(self, v32):
         """v32ᵀ A in f32 (MXU path); v32 must be f32."""
-        return v32 @ self.A32
+        return jnp.matmul(
+            v32, self.A32, precision=jax.lax.Precision.HIGHEST
+        )
 
     def rmatvec32_block(self, v32, bstart, bsize: int):
         """v32ᵀ A[:, bstart:bstart+bsize] (partial pricing; bsize static)."""
         import jax.lax as lax
 
         blk = lax.dynamic_slice(self.A32, (0, bstart), (self.A32.shape[0], bsize))
-        return v32 @ blk
+        return jnp.matmul(v32, blk, precision=jax.lax.Precision.HIGHEST)
 
     def col(self, q):
         """Dense column a_q."""

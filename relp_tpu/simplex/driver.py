@@ -1593,8 +1593,10 @@ def _solve_fleet_pdlp(A, b, c, lb, ub, config: SolverConfig, max_iter: int):
     from relp_tpu.utils.metrics import logger as _log
 
     A = np.asarray(A, np.float64)
-    N, m_pad, n_pad = A.shape
-    shared = bool(np.all(A[0] == A))
+    N = b.shape[0]
+    _, m_pad, n_pad = A.shape
+    # the caller passes a 1-deep stack when every scenario shares A
+    shared = A.shape[0] == 1 or bool(np.all(A[0] == A))
 
     # Ruiz ∞-norm + one Pock–Chambolle pass (the single-solve recipe) on
     # the shared operator; per-scenario when the stack is heterogeneous
@@ -1717,6 +1719,11 @@ def _solve_fleet_pdlp(A, b, c, lb, ub, config: SolverConfig, max_iter: int):
 
     A64 = DenseMatrix(jnp.asarray(As))
     B64, C64, LB64, UB64 = (jnp.asarray(v_) for v_ in (B, C, LB, UB))
+    # BASE-frame f32 copies for per-chunk KKT control flow (the zoom-
+    # frame B32/C32 vectors describe the SUBPROBLEM, not the composite)
+    BF32, CF32, LF32, UF32 = (
+        v_.astype(jnp.float32) for v_ in (B64, C64, LB64, UB64)
+    )
 
     kkt_v = jax.vmap(
         lambda Aop, b_, c_, lo_, hi_, x_, y_: _kkt_one(
@@ -1727,9 +1734,22 @@ def _solve_fleet_pdlp(A, b, c, lb, ub, config: SolverConfig, max_iter: int):
 
     @jax.jit
     def _composite_kkt(x32, y32, XBar, YBar, dpd):
+        """Composite point in f64; its KKT evaluated in f32 — per-chunk
+        decisions tolerate the ~1e-7 f32 eval noise (accept is 1e-6),
+        while an emulated-f64 GEMM KKT at fleet width costs more than
+        the chunk it gates.  One f64 pass at loop exit verifies the
+        accept mask exactly."""
         X = XBar + x32.astype(jnp.float64) / dpd[:, None]
         Y = YBar + y32.astype(jnp.float64)
-        return X, Y, kkt_v(A64, B64, C64, LB64, UB64, X, Y)
+        k = kkt_v(
+            A32, BF32, CF32, LF32, UF32,
+            X.astype(jnp.float32), Y.astype(jnp.float32),
+        )
+        return X, Y, k.astype(jnp.float64)
+
+    @jax.jit
+    def _kkt64_final(bX, bY):
+        return kkt_v(A64, B64, C64, LB64, UB64, bX, bY)
 
     @jax.jit
     def _track(bX, bY, bK, X, Y, k):
@@ -1886,6 +1906,9 @@ def _solve_fleet_pdlp(A, b, c, lb, ub, config: SolverConfig, max_iter: int):
         ):
             break  # floored: per-scenario acceptance decides below
 
+    # exact acceptance: one f64 KKT pass over the best snapshots (the
+    # loop's f32 evaluations carry ~1e-7 noise)
+    best_kkt = np.asarray(_kkt64_final(bX_d, bY_d))
     ok = best_kkt <= accept
     x_out = np.asarray(bX_d, np.float64) * _dc()
     pi_out = np.asarray(bY_d, np.float64) * (
@@ -1900,7 +1923,7 @@ def _solve_fleet_pdlp(A, b, c, lb, ub, config: SolverConfig, max_iter: int):
         for s in np.where(~ok)[0]:
             try:
                 res_s = linprog(
-                    c[s], A_eq=A[s], b_eq=b[s],
+                    c[s], A_eq=A[0 if shared else s], b_eq=b[s],
                     bounds=list(zip(lb[s], ub[s])), method="highs",
                 )
             except Exception:
@@ -1981,13 +2004,24 @@ def solve_general_forms_batched(
             m_pad = _round_up(m_max, config.row_align)
             n_pad = _round_up(n_max, config.col_align)
         batch = len(device_jobs)
-        A = np.zeros((batch, m_pad, n_pad))
+        # scenario fleets share A (perturbed b/c only): stack A once —
+        # a dense (batch, m, n) stack is ~11 GB at 256×SCTAP3 scale
+        cscs = [sp.csc_matrix(cf.A) for _, _, cf in device_jobs]
+        shared_A = all(
+            csc.shape == cscs[0].shape
+            and np.array_equal(csc.indptr, cscs[0].indptr)
+            and np.array_equal(csc.indices, cscs[0].indices)
+            and np.array_equal(csc.data, cscs[0].data)
+            for csc in cscs[1:]
+        )
+        A = np.zeros((1 if shared_A else batch, m_pad, n_pad))
         b = np.zeros((batch, m_pad))
         c = np.zeros((batch, n_pad))
         lb = np.zeros((batch, n_pad))
         ub = np.zeros((batch, n_pad))
         for s_i, (_, _, cf) in enumerate(device_jobs):
-            A[s_i, : cf.m, : cf.n] = sp.csc_matrix(cf.A).toarray()
+            if s_i == 0 or not shared_A:
+                A[s_i, : cf.m, : cf.n] = cscs[s_i].toarray()
             b[s_i, : cf.m] = cf.b
             c[s_i, : cf.n] = cf.c
             lb[s_i, : cf.n] = cf.lb
@@ -2000,6 +2034,8 @@ def solve_general_forms_batched(
             outs = _solve_fleet_pdlp(A, b, c, lb, ub, config, fo_budget)
         else:
             max_iter = config.resolve_max_iter(m_pad, n_pad)
+            if shared_A and batch > 1:
+                A = np.broadcast_to(A, (batch, m_pad, n_pad))
             outs = solve_batched(A, b, c, lb, ub, cfg=config, max_iter=max_iter)
         for s_i, (idx, general, cf) in enumerate(device_jobs):
             status = int(outs.status[s_i])
