@@ -1592,6 +1592,9 @@ def _solve_fleet_pdlp(A, b, c, lb, ub, config: SolverConfig, max_iter: int):
     from relp_tpu.ops.amatrix import DenseMatrix
     from relp_tpu.utils.metrics import logger as _log
 
+    import time
+
+    _t_fleet0 = time.perf_counter()
     A = np.asarray(A, np.float64)
     N = b.shape[0]
     _, m_pad, n_pad = A.shape
@@ -1860,9 +1863,11 @@ def _solve_fleet_pdlp(A, b, c, lb, ub, config: SolverConfig, max_iter: int):
         kmax = float(np.max(best_kkt))
         if _log.isEnabledFor(20):
             _log.info(
-                "pdlp fleet chunk it=%d kkt max=%.3e med=%.3e accepted=%d/%d",
+                "pdlp fleet chunk it=%d kkt max=%.3e med=%.3e "
+                "accepted=%d/%d wall=%.1fs",
                 it_now, kmax, float(np.median(best_kkt)),
                 int((best_kkt <= accept).sum()), N,
+                time.perf_counter() - _t_fleet0,
             )
         if kmax < 0.9 * ref_kmax:
             ref_kmax = kmax
@@ -1898,11 +1903,21 @@ def _solve_fleet_pdlp(A, b, c, lb, ub, config: SolverConfig, max_iter: int):
         n_ok = int((best_kkt <= accept).sum())
         if n_ok > last_ok:
             last_ok, last_ok_it = n_ok, it_now
+        stalled_k = it_now - best_it
+        stalled_ok = it_now - last_ok_it
         if (
-            it_now - best_it >= max(int(config.pdlp_plateau), best_it // 2)
+            n_ok >= 0.9 * N
+            and min(stalled_k, stalled_ok) >= int(config.pdlp_plateau) // 4
+        ):
+            # all but a few stragglers are done: hand those to the host
+            # cleanup instead of grinding the full plateau window per
+            # scenario (measured: +50k fleet iterations bought +1 accept)
+            break
+        if (
+            stalled_k >= max(int(config.pdlp_plateau), best_it // 2)
             # per-scenario acceptances still arriving count as progress
             # even when the max-KKT straggler is flat
-            and it_now - last_ok_it >= int(config.pdlp_plateau)
+            and stalled_ok >= int(config.pdlp_plateau)
         ):
             break  # floored: per-scenario acceptance decides below
 
