@@ -1735,8 +1735,12 @@ def _solve_fleet_pdlp(A, b, c, lb, ub, config: SolverConfig, max_iter: int):
         in_axes=(A_axis, 0, 0, 0, 0, 0, 0),
     )
 
+    # NOTE: the operator and problem vectors are explicit ARGUMENTS of
+    # every jitted helper — a closure-captured device array is inlined
+    # into the program as a constant, and an 80BAU3B-sized f64 operator
+    # (182 MB) overflows the remote compile request (HTTP 413)
     @jax.jit
-    def _composite_kkt(x32, y32, XBar, YBar, dpd):
+    def _composite_kkt(Aop, bf, cf_, lf, uf, x32, y32, XBar, YBar, dpd):
         """Composite point in f64; its KKT evaluated in f32 — per-chunk
         decisions tolerate the ~1e-7 f32 eval noise (accept is 1e-6),
         while an emulated-f64 GEMM KKT at fleet width costs more than
@@ -1745,14 +1749,14 @@ def _solve_fleet_pdlp(A, b, c, lb, ub, config: SolverConfig, max_iter: int):
         X = XBar + x32.astype(jnp.float64) / dpd[:, None]
         Y = YBar + y32.astype(jnp.float64)
         k = kkt_v(
-            A32, BF32, CF32, LF32, UF32,
+            Aop, bf, cf_, lf, uf,
             X.astype(jnp.float32), Y.astype(jnp.float32),
         )
         return X, Y, k.astype(jnp.float64)
 
     @jax.jit
-    def _kkt64_final(bX, bY):
-        return kkt_v(A64, B64, C64, LB64, UB64, bX, bY)
+    def _kkt64_final(Aop, bq, cq, lq, uq, bX, bY):
+        return kkt_v(Aop, bq, cq, lq, uq, bX, bY)
 
     @jax.jit
     def _track(bX, bY, bK, X, Y, k):
@@ -1764,14 +1768,15 @@ def _solve_fleet_pdlp(A, b, c, lb, ub, config: SolverConfig, max_iter: int):
         )
 
     @jax.jit
-    def _zoom_arrays(bX, bY):
+    def _zoom_arrays(Aop, bq, cq, lq, uq, bX, bY):
+        LB64, UB64, B64, C64 = lq, uq, bq, cq
         X = jnp.minimum(jnp.maximum(bX, LB64), UB64)
         if shared:
-            r = B64 - X @ A64.A.T
-            d = C64 - bY @ A64.A
+            r = B64 - X @ Aop.A.T
+            d = C64 - bY @ Aop.A
         else:
-            r = B64 - jnp.einsum("smn,sn->sm", A64.A, X)
-            d = C64 - jnp.einsum("smn,sm->sn", A64.A, bY)
+            r = B64 - jnp.einsum("smn,sn->sm", Aop.A, X)
+            d = C64 - jnp.einsum("smn,sm->sn", Aop.A, bY)
         dpd = jnp.clip(
             1.0 / jnp.maximum(jnp.max(jnp.abs(r), axis=1), 1e-14), 1.0, 1e14
         )
@@ -1804,7 +1809,9 @@ def _solve_fleet_pdlp(A, b, c, lb, ub, config: SolverConfig, max_iter: int):
     def _zoom(reason: str):
         nonlocal states, XBar_d, YBar_d, dp_d, refines_left, kkt_at_refine
         nonlocal best_it, ref_kmax, B32, C32, LB32, UB32, in_zoom
-        XBar_d, YBar_d, dp_d, bq, cq, lo, hi = _zoom_arrays(bX_d, bY_d)
+        XBar_d, YBar_d, dp_d, bq, cq, lo, hi = _zoom_arrays(
+            A64, B64, C64, LB64, UB64, bX_d, bY_d
+        )
         B32, C32, LB32, UB32 = (
             v_.astype(f32) for v_ in (bq, cq, lo, hi)
         )
@@ -1855,7 +1862,8 @@ def _solve_fleet_pdlp(A, b, c, lb, ub, config: SolverConfig, max_iter: int):
     while True:
         states = run(A32, B32, C32, LB32, UB32, states)
         X_d, Y_d, k_d = _composite_kkt(
-            states.x, states.y, XBar_d, YBar_d, dp_d
+            A32, BF32, CF32, LF32, UF32,
+            states.x, states.y, XBar_d, YBar_d, dp_d,
         )
         bX_d, bY_d, bK_d = _track(bX_d, bY_d, bK_d, X_d, Y_d, k_d)
         best_kkt = np.asarray(bK_d)
@@ -1923,7 +1931,9 @@ def _solve_fleet_pdlp(A, b, c, lb, ub, config: SolverConfig, max_iter: int):
 
     # exact acceptance: one f64 KKT pass over the best snapshots (the
     # loop's f32 evaluations carry ~1e-7 noise)
-    best_kkt = np.asarray(_kkt64_final(bX_d, bY_d))
+    best_kkt = np.asarray(
+        _kkt64_final(A64, B64, C64, LB64, UB64, bX_d, bY_d)
+    )
     ok = best_kkt <= accept
     x_out = np.asarray(bX_d, np.float64) * _dc()
     pi_out = np.asarray(bY_d, np.float64) * (
