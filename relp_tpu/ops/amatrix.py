@@ -100,17 +100,22 @@ class DenseMatrix:
         return jnp.matmul(pi, self.A, precision=jax.lax.Precision.HIGHEST)
 
     def rmatvec32(self, v32):
-        """v32ᵀ A in f32 (MXU path); v32 must be f32."""
-        return jnp.matmul(
-            v32, self.A32, precision=jax.lax.Precision.HIGHEST
-        )
+        """v32ᵀ A in f32 (MXU pricing path); v32 must be f32.
+
+        Default (bf16-truncated) MXU precision is DELIBERATE here: the
+        simplex pricing scan only proposes candidates — every entering
+        choice is confirmed against the f64 reduced cost before pivoting
+        (simplex/core.py), so the 8-bit-mantissa speedup is free.  The
+        iteration-critical f32 matmuls (PDHG/fleet) go through matvec/
+        rmatvec, which request HIGHEST."""
+        return v32 @ self.A32
 
     def rmatvec32_block(self, v32, bstart, bsize: int):
         """v32ᵀ A[:, bstart:bstart+bsize] (partial pricing; bsize static)."""
         import jax.lax as lax
 
         blk = lax.dynamic_slice(self.A32, (0, bstart), (self.A32.shape[0], bsize))
-        return jnp.matmul(v32, blk, precision=jax.lax.Precision.HIGHEST)
+        return v32 @ blk  # pricing proposal — f64-confirmed (rmatvec32)
 
     def col(self, q):
         """Dense column a_q."""
