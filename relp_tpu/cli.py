@@ -117,6 +117,13 @@ def main(argv=None) -> int:
         "(0 = plain branch-and-bound)",
     )
     ap.add_argument(
+        "--mip-branch",
+        choices=["pseudo", "fractional"],
+        default="pseudo",
+        help="with --mip: branching variable selection (pseudo-cost "
+        "product rule, learned online; or most-fractional)",
+    )
+    ap.add_argument(
         "--mesh-cols",
         type=int,
         default=1,
@@ -170,6 +177,7 @@ def main(argv=None) -> int:
         pdlp_variant=args.pdlp_variant,
         pdlp_precision=args.pdlp_precision,
         pdlp_refine=args.pdlp_refine,
+        mip_branch=args.mip_branch,
         pdlp_accept=args.pdlp_accept,
     )
 

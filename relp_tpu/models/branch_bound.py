@@ -292,6 +292,42 @@ def solve_mip(
     best_x: Optional[np.ndarray] = None
     complete = True  # every pruned branch was proved (not just dropped)
 
+    # --- pseudo-cost branching (Achterberg's product rule) --------------
+    # per-variable, per-direction average LP-bound degradation per unit of
+    # fractional distance, learned from every solved child; a side with no
+    # observations borrows the global average, and a fully-uninitialized
+    # candidate is explored first.  config.mip_branch="fractional" keeps
+    # the round-2 most-fractional rule.
+    pc_sum: dict = {}   # (j, dir) -> summed degradation per unit distance
+    pc_cnt: dict = {}   # (j, dir) -> observation count
+
+    def _pc_avg(j: int, d: int):
+        k = (j, d)
+        if pc_cnt.get(k, 0) > 0:
+            return pc_sum[k] / pc_cnt[k]
+        n_obs = sum(pc_cnt.values())
+        return (sum(pc_sum.values()) / n_obs) if n_obs else None
+
+    def _select_branch(bad, fr, x):
+        if config.mip_branch != "pseudo":
+            return int(bad[np.argmax(np.minimum(fr, 1 - fr))])
+        scores = []
+        for jj in bad:
+            vj = float(x[int(jj)])
+            fj = vj - math.floor(vj)
+            dn, up = _pc_avg(int(jj), 0), _pc_avg(int(jj), 1)
+            if dn is None and up is None:
+                scores.append(None)  # uninitialized: explore first
+                continue
+            dn = dn if dn is not None else up
+            up = up if up is not None else dn
+            scores.append(max(dn * fj, 1e-12) * max(up * (1.0 - fj), 1e-12))
+        if all(s is None for s in scores):
+            return int(bad[np.argmax(np.minimum(fr, 1 - fr))])
+        mx = max(s for s in scores if s is not None)
+        scores = [s if s is not None else mx * (1.0 + 1e-6) for s in scores]
+        return int(bad[int(np.argmax(scores))])
+
     # best-first heap: (lp bound, tiebreak, lb, ub, prior SolveOutput)
     tick = 0
     heap: List[Tuple[float, int, np.ndarray, np.ndarray, object]] = []
@@ -314,8 +350,7 @@ def solve_mip(
                 best_obj = float(prior.obj)
                 best_x = x.copy()
             continue
-        # branch on the most fractional variable
-        j = int(bad[np.argmax(np.minimum(fr, 1 - fr))])
+        j = _select_branch(bad, fr, x)
         v = x[j]
         for lo_add, hi_add in (
             (None, math.floor(v)),  # x_j <= floor(v)
@@ -338,6 +373,17 @@ def solve_mip(
                     complete = False  # unresolved child: no infeas. proof
                 continue
             child_bound = float(out.obj)
+            # pseudo-cost update: observed degradation per unit distance
+            # (down branch distance f_j, up branch 1−f_j)
+            dist = (
+                v - math.floor(v) if hi_add is not None else math.ceil(v) - v
+            )
+            if dist > 1e-9:
+                k = (j, 0 if hi_add is not None else 1)
+                pc_sum[k] = pc_sum.get(k, 0.0) + max(
+                    child_bound - bound, 0.0
+                ) / dist
+                pc_cnt[k] = pc_cnt.get(k, 0) + 1
             if child_bound >= best_obj - gap_tol:
                 continue
             xc = np.asarray(out.x)

@@ -212,6 +212,11 @@ class SolverConfig:
     # so the fleet only iterates out the perturbation delta.  The base
     # solve's wall is inside the fleet call (timed with it).
     pdlp_fleet_warm: bool = True
+    # Branch-and-bound variable selection: "pseudo" = pseudo-cost product
+    # rule (per-variable average LP-bound degradation per unit fractional
+    # distance, learned online; Achterberg); "fractional" = the round-2
+    # most-fractional rule.
+    mip_branch: str = "pseudo"
     # PDHG device matrix: "bricks" re-tiles the nonzeros into (8, 128)
     # dense bricks gathered as 128-lane rows — TPU element gathers are
     # serial (~14 ns/element; tools/probe_gather_layouts.py), so the ELL
