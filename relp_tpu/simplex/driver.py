@@ -1156,7 +1156,11 @@ def solve_computational_form(
             vstat0=vstat0,
             art_sign0=np.where(r0 >= 0, 1.0, -1.0),
         )
-        if m_pad > config.refactor_external_m:
+        # xl_engine="lu" explicitly forces the host sparse-LU dual at ANY
+        # size (FIT2P, m=3000: 9.7 s vs 193.7 s on the device primal —
+        # hyper-sparse sequential pivoting belongs on the host); "auto"
+        # keeps the size gate so small duals stay on-device
+        if config.xl_engine == "lu" or m_pad > config.refactor_external_m:
             if config.xl_engine in ("auto", "lu"):
                 out = _run_dual_lu_host(t, lb_d, ub_d, warm)
                 if out is None and config.xl_engine == "auto":

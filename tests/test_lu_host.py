@@ -89,3 +89,18 @@ def test_xl_warm_start_basis_route(monkeypatch):
     )
     assert res.kind is LinearProgramType.FINITE_OPTIMUM
     assert res.solution.objective_value == pytest.approx(123 / 38, rel=1e-9)
+
+
+def test_xl_engine_lu_forces_host_dual_at_any_size():
+    """config.xl_engine="lu" (CLI --xl-engine lu) routes --algorithm dual
+    through the host sparse-LU engine regardless of the XL row threshold
+    (FIT2P-class instances run 20x faster there than on the device
+    primal); no refactor_external_m override needed."""
+    res = solve(
+        reference_problem("netlib", "SHARE1B.SIF"),
+        SolverConfig(algorithm="dual", xl_engine="lu"),
+    )
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert res.solution.objective_value == pytest.approx(
+        -76589.31857918046, rel=1e-9
+    )
