@@ -1282,7 +1282,25 @@ def solve_computational_form(
                     phase0=np.int32(1),
                 )
                 if m_pad <= _PRIMAL_INLOOP_MAX_M:
-                    out = _run_chunked(lb, ub, warm_cross, t, max_iter)
+                    out_x = _run_chunked(lb, ub, warm_cross, t, max_iter)
+                    ok_x = int(out_x.status) == st.OPTIMAL and np.isfinite(
+                        float(out_x.obj)
+                    )
+                    if not ok_x:
+                        # the device primal could not polish this guess (a
+                        # singular/ill-conditioned crossover basis at
+                        # DFL001 scale NaNs the in-loop refactorization) —
+                        # the host LU dual repairs it via the triangular
+                        # crash and reoptimizes; a failed cleanup keeps
+                        # the certified first-order point rather than
+                        # REPLACING it with the failed polish
+                        out_lu = _run_dual_lu_host(
+                            t, lb.copy(), ub.copy(), warm_cross, repair=True
+                        )
+                        if out_lu is not None:
+                            out = out_lu
+                    else:
+                        out = out_x
                 else:
                     # XL crossover (round-2 verdict item 4): the host LU
                     # dual simplex reoptimizes from the first-order basis
