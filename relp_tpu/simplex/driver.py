@@ -323,7 +323,7 @@ def solve_computational_form(
             ))
         return _a_pad_cache[0]
 
-    def _run_dual_lu_host(t, lb_d, ub_d, warm, repair=False):
+    def _run_dual_lu_host(t, lb_d, ub_d, warm, repair=False, iter_cap=None):
         """Host sparse-LU dual simplex (simplex/lu_host.py — the
         reference's Markowitz-LU counterpart; see that module's docstring
         for why this tier is host-native).  ``repair=True`` first places
@@ -385,7 +385,8 @@ def solve_computational_form(
             vstat0 = np.concatenate([vs.astype(np.int32), vstat0[n_pad:]])
         out = solve_dual_lu(
             A_pad, b, c, lb_d, ub_d, basis0, vstat0, art_sign0,
-            config, max_iter, n_pad=n_pad,
+            config, max_iter if iter_cap is None else min(max_iter, iter_cap),
+            n_pad=n_pad,
         )
         if out is None:
             return None
@@ -1295,7 +1296,8 @@ def solve_computational_form(
                         # the certified first-order point rather than
                         # REPLACING it with the failed polish
                         out_lu = _run_dual_lu_host(
-                            t, lb.copy(), ub.copy(), warm_cross, repair=True
+                            t, lb.copy(), ub.copy(), warm_cross, repair=True,
+                            iter_cap=4 * m_pad,
                         )
                         if out_lu is not None:
                             out = out_lu
@@ -1307,7 +1309,8 @@ def solve_computational_form(
                     # guess at any m — statuses repaired to sign(d) first.
                     # A failed cleanup keeps the certified PDLP point.
                     out_x = _run_dual_lu_host(
-                        t, lb.copy(), ub.copy(), warm_cross, repair=True
+                        t, lb.copy(), ub.copy(), warm_cross, repair=True,
+                        iter_cap=4 * m_pad,
                     )
                     if out_x is not None:
                         out = out_x
