@@ -1654,7 +1654,6 @@ def _solve_fleet_pdlp(A, b, c, lb, ub, config: SolverConfig, max_iter: int):
         d_r, d_c = _ruiz(A[0])          # (m,), (n,)
         As = d_r[:, None] * A[0] * d_c  # (m, n)
         mat = lambda X: X @ As.T        # noqa: E731  (N,n)→(N,m)
-        rmat = lambda Y: Y @ As         # noqa: E731  (N,m)→(N,n)
         A_axis = None
     else:
         scal = [_ruiz(A[s]) for s in range(N)]
@@ -1662,7 +1661,6 @@ def _solve_fleet_pdlp(A, b, c, lb, ub, config: SolverConfig, max_iter: int):
         d_c = np.stack([s1 for _, s1 in scal])  # (N, n)
         As = d_r[:, :, None] * A * d_c[:, None, :]
         mat = lambda X: np.einsum("smn,sn->sm", As, X)   # noqa: E731
-        rmat = lambda Y: np.einsum("smn,sm->sn", As, Y)  # noqa: E731
         A_axis = 0
     B = b * (d_r if not shared else d_r[None, :])
     C = c * (d_c if not shared else d_c[None, :])
