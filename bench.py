@@ -271,9 +271,10 @@ def main(argv=None) -> int:
         default="full",
     )
     ap.add_argument(
-        "--fleet-base", default="SCTAP2",
-        help="fleet suite: base instance to perturb (SCTAP2: the warm-"
-             "started first-order fleet converges in ~8k iterations)",
+        "--fleet-base", default="SCTAP3",
+        help="fleet suite: base instance to perturb (SCTAP3: the measured "
+             "round-3 artifact config — 256 scenarios, 8/8-per-8 stable "
+             "acceptance, BENCH_r03_fleet.json)",
     )
     ap.add_argument(
         "--fleet-n", type=int, default=256,
