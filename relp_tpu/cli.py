@@ -47,15 +47,16 @@ def main(argv=None) -> int:
     )
     ap.add_argument(
         "--algorithm",
-        choices=["primal", "dual", "pdlp"],
+        choices=["primal", "dual", "pdlp", "ipm"],
         default="primal",
         help="main solve algorithm (dual = dual simplex from scratch; "
-        "pdlp = first-order restarted PDHG, the scale path)",
+        "pdlp = first-order restarted PDHG, the scale path; ipm = "
+        "Mehrotra predictor-corrector interior point, dense MXU GEMMs)",
     )
     ap.add_argument(
         "--no-crossover",
         action="store_true",
-        help="with --algorithm pdlp: return the first-order point as-is "
+        help="with --algorithm pdlp/ipm: return the interior point as-is "
         "instead of polishing it to an exact simplex vertex",
     )
     ap.add_argument(

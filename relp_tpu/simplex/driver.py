@@ -1130,6 +1130,79 @@ def solve_computational_form(
             vertex=False,  # first-order point: basis/vstat are placeholders
         )
 
+    def _run_ipm(t):
+        """Primal-dual interior point (config.algorithm="ipm",
+        simplex/primal_dual.py): Mehrotra predictor-corrector over the
+        dense scaled operator — one normal-equation GEMM + Cholesky per
+        iteration, the MXU-native algorithm shape.  Returns the same
+        SolveOutput-shaped namespace as ``_run_pdlp`` (vertex=False; the
+        shared crossover recovers the exact vertex), else None."""
+        from types import SimpleNamespace
+
+        import jax.numpy as jnp
+
+        from relp_tpu.ops.amatrix import as_amatrix
+        from relp_tpu.simplex.primal_dual import solve_ipm
+        from relp_tpu.utils.metrics import logger as _log
+
+        nonlocal total_done
+        # same Ruiz ∞-norm equilibration as the PDLP path: the Cholesky's
+        # f32 conditioning rides on A being O(1)-equilibrated
+        csc0 = sp.csc_matrix(cf.A)
+        d_r = np.ones(m_pad)
+        d_c = np.ones(n_pad)
+        S = abs(csc0).tocsr()
+        for _ in range(10):
+            rmax = np.asarray(S.max(axis=1).todense()).ravel()
+            rs = 1.0 / np.sqrt(np.where(rmax > 0, rmax, 1.0))
+            S = sp.diags(rs) @ S
+            cmax = np.asarray(S.max(axis=0).todense()).ravel()
+            cs = 1.0 / np.sqrt(np.where(cmax > 0, cmax, 1.0))
+            S = S @ sp.diags(cs)
+            d_r[: cf.m] *= rs
+            d_c[: cf.n] *= cs
+        csc_s = sp.diags(d_r[: cf.m]) @ csc0 @ sp.diags(d_c[: cf.n])
+        b_s = b * d_r
+        c_s = c * d_c
+        with np.errstate(invalid="ignore"):
+            lb_s = np.where(np.isfinite(lb), lb / d_c, lb)
+            ub_s = np.where(np.isfinite(ub), ub / d_c, ub)
+        A_dense = np.zeros((m_pad, n_pad))
+        A_dense[: cf.m, : cf.n] = csc_s.toarray()
+        res = solve_ipm(
+            A_dense, b_s, c_s, lb_s, ub_s,
+            tol=config.ipm_tol, accept=config.ipm_accept,
+            max_iter=config.ipm_max_iter, log=_log,
+        )
+        if res is None:
+            return None
+        x_s, y_s, info = res
+        total_done += info.iterations
+        if _log.isEnabledFor(20):
+            _log.info(
+                "ipm done it=%d kkt=%.3e converged=%s wall=%.1fs",
+                info.iterations, info.kkt, info.converged, t.peek(),
+            )
+        x_np = d_c * x_s
+        r_prim = float(np.max(np.abs(
+            np.asarray(as_amatrix(A).matvec(jnp.asarray(x_np))) - b
+        )))
+        return SimpleNamespace(
+            x=x_np,
+            status=np.int32(st.OPTIMAL),
+            it=np.int32(info.iterations),
+            phase=np.int32(2),
+            basis=(n_pad + np.arange(m_pad, dtype=np.int32)),
+            vstat=np.full(n_pad + m_pad, st.NB_LOWER, np.int32),
+            art_inf=np.float64(r_prim),
+            pi=d_r * y_s,
+            obj=np.float64(c @ x_np),
+            art_sign=np.ones(m_pad),
+            trace=np.zeros((0, 8), np.float32),
+            viol=np.float64(info.kkt),
+            vertex=False,  # interior point: basis/vstat are placeholders
+        )
+
     def _run_dual_chunked(t):
         """Dual simplex from scratch (config.algorithm="dual"): the
         all-artificial basis is dual feasible once every nonbasic sits on
@@ -1228,11 +1301,12 @@ def solve_computational_form(
         # primal core's in-loop refactor branch cannot compile within HBM
         # at this scale (config.refactor_external_m)
         if (
-            config.algorithm == "pdlp"
+            config.algorithm in ("pdlp", "ipm")
             and warm_start_builder is None
             and config.perturb == 0
         ):
-            out = _run_pdlp(t)  # None ⇒ fall back to simplex below
+            # None ⇒ fall back to simplex below
+            out = _run_pdlp(t) if config.algorithm == "pdlp" else _run_ipm(t)
             if (
                 out is not None
                 and config.pdlp_crossover

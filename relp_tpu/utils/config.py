@@ -163,6 +163,11 @@ class SolverConfig:
     # path for hyper-sparse XL instances where per-pivot O(m²) dense-
     # inverse work dominates; converges to pdlp_tol relative KKT and
     # falls back to simplex when it cannot certify optimality.
+    # "ipm" selects the primal-dual interior-point engine
+    # (simplex/primal_dual.py): Mehrotra predictor-corrector whose
+    # per-iteration work is ONE dense normal-equation GEMM + Cholesky —
+    # the MXU-native algorithm shape (O(√n) iterations regardless of
+    # degeneracy); shares the PDLP crossover/fallback plumbing.
     algorithm: str = "primal"
     pdlp_tol: float = 1e-8
     pdlp_round: int = 256
@@ -212,6 +217,15 @@ class SolverConfig:
     # so the fleet only iterates out the perturbation delta.  The base
     # solve's wall is inside the fleet call (timed with it).
     pdlp_fleet_warm: bool = True
+    # Interior-point engine (algorithm="ipm") criteria: iterate until the
+    # relative KKT (max of primal/dual infeasibility and duality gap)
+    # reaches ipm_tol; on stall, accept the best point iff ≤ ipm_accept
+    # (the crossover/exact-verify path still applies), else fall back to
+    # simplex.  ipm_max_iter bounds the Mehrotra iterations (each is one
+    # normal-equation GEMM + Cholesky; 20-60 typical).
+    ipm_tol: float = 1e-8
+    ipm_accept: float = 1e-6
+    ipm_max_iter: int = 120
     # Branch-and-bound variable selection: "pseudo" = pseudo-cost product
     # rule (per-variable average LP-bound degradation per unit fractional
     # distance, learned online; Achterberg); "fractional" = the round-2
