@@ -23,7 +23,8 @@ Layout:
     providers/  column-oracle layer (standard-form builder, filters)
     models/     LP model families (networks: shortest path, max flow, ...)
     simplex/    the two-phase revised simplex engine (device code)
-    ops/        kernels: refactorization, pricing, pallas kernels
+    ops/        device kernels: linalg/refactorization, matrix layouts
+                (dense/ELL/hybrid/bricks), panel matvecs
     parallel/   device meshes, sharded pricing, batched solves
     utils/      config, logging, timers
 """

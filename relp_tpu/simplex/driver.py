@@ -2116,15 +2116,29 @@ def solve_general_forms_batched(
             continue
         device_jobs.append((idx, general, cf))
 
-    if device_jobs:
-        m_max = max(cf.m for _, _, cf in device_jobs)
-        n_max = max(cf.n for _, _, cf in device_jobs)
+    # group device jobs by per-instance shape bucket: a mixed-size suite
+    # (19 Netlib instances spanning 64..1024 rows) padded to ONE global
+    # max shape would run every small instance at the big instance's
+    # O(m²)-per-iteration cost AND for the big instance's iteration count
+    # (a vmapped while_loop runs until the LAST lane converges).  Same-
+    # shape scenario fleets still land in one group, so the shared-A fast
+    # path is unchanged.
+    groups: "dict[tuple[int, int], list]" = {}
+    for job in device_jobs:
+        cf_j = job[2]
         if config.bucket_shapes:
-            m_pad = _bucket(m_max, config.row_align * 8)
-            n_pad = _bucket(n_max, config.col_align * 2)
+            key = (
+                _bucket(cf_j.m, config.row_align * 8),
+                _bucket(cf_j.n, config.col_align * 2),
+            )
         else:
-            m_pad = _round_up(m_max, config.row_align)
-            n_pad = _round_up(n_max, config.col_align)
+            key = (
+                _round_up(cf_j.m, config.row_align),
+                _round_up(cf_j.n, config.col_align),
+            )
+        groups.setdefault(key, []).append(job)
+
+    for (m_pad, n_pad), device_jobs in groups.items():
         batch = len(device_jobs)
         # scenario fleets share A (perturbed b/c only): stack A once —
         # a dense (batch, m, n) stack is ~11 GB at 256×SCTAP3 scale
