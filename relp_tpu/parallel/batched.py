@@ -40,11 +40,20 @@ def _solve_batch_warm(A, b, c, lb, ub, basis0, vstat0, art_sign0, phase0,
     return jax.vmap(solver)(A, b, c, lb, ub, basis0, vstat0, art_sign0, phase0)
 
 
-def solve_batched(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int, mesh: Mesh = None):
+def solve_batched(
+    A, b, c, lb, ub, cfg: SolverConfig, max_iter: int, mesh: Mesh = None,
+    warm=None,
+):
     """Solve a stack of LPs: inputs have a leading scenario axis.
 
     With a mesh, the scenario axis is sharded over 'batch' (and columns over
     'cols' when its size divides the column count).
+
+    ``warm`` optionally carries stacked warm-start arrays
+    ``dict(basis0, vstat0, art_sign0, phase0)`` (one row per scenario) —
+    the slack-crash cold start and the shared-A fleet warm start are both
+    expressed through this signature, exactly like the single-solve
+    driver, so every entry shares ONE compiled program per shape.
     """
     arrays = [np.asarray(x, np.float64) for x in (A, b, c, lb, ub)]
     if mesh is None:
@@ -77,7 +86,18 @@ def solve_batched(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int, mesh: Mesh 
     chunk = max(200, int(chunk / scale_div))
     n_cols = arrays[0].shape[2]
     done = 0
-    out = _solve_batch(*arrays, cfg=cfg, max_iter=min(chunk, max_iter))
+    if warm is not None:
+        out = _solve_batch_warm(
+            *arrays,
+            jnp_asarray_i32(warm["basis0"]),
+            jnp_asarray_i32(warm["vstat0"]),
+            np.asarray(warm["art_sign0"], np.float64),
+            jnp_asarray_i32(warm["phase0"]),
+            cfg=cfg,
+            max_iter=min(chunk, max_iter),
+        )
+    else:
+        out = _solve_batch(*arrays, cfg=cfg, max_iter=min(chunk, max_iter))
     done += int(np.max(np.asarray(out.it)))
     while (
         done < max_iter

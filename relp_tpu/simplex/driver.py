@@ -2170,9 +2170,59 @@ def solve_general_forms_batched(
             outs = _solve_fleet_pdlp(A, b, c, lb, ub, config, fo_budget)
         else:
             max_iter = config.resolve_max_iter(m_pad, n_pad)
+            # express every lane's start through the warm signature (the
+            # single driver's trick: one compiled program per shape):
+            # slack-crash each lane; a shared-A scenario fleet instead
+            # warm-starts every lane from ONE single-driver base solve —
+            # perturbed scenarios are a few phase-1 repair pivots from
+            # the base optimum, not a cold two-phase solve.
+            basis0 = np.tile(
+                n_pad + np.arange(m_pad, dtype=np.int32), (batch, 1)
+            )
+            vstat0 = np.where(
+                lb == ub,
+                st.NB_FIXED,
+                np.where(
+                    np.isfinite(lb),
+                    st.NB_LOWER,
+                    np.where(np.isfinite(ub), st.NB_UPPER, st.NB_FREE),
+                ),
+            ).astype(np.int32)
+            warmed_from_base = False
+            if shared_A and batch > 1 and config.pdlp_fleet_warm:
+                res0 = solve_computational_form(device_jobs[0][2], config)
+                if res0.basis is not None and res0.is_optimal:
+                    basis0[:] = np.asarray(res0.basis, np.int32)[None, :]
+                    vstat0[:] = np.asarray(res0.vstat, np.int32)[None, :n_pad]
+                    warmed_from_base = True
+            if not warmed_from_base and config.crash_basis:
+                for s_i, (_, _, cf) in enumerate(device_jobs):
+                    if len(cf.slack_rows):
+                        rows = np.asarray(cf.slack_rows, np.int64)
+                        cols = cf.n_structural + np.arange(
+                            len(rows), dtype=np.int32
+                        )
+                        basis0[s_i, rows] = cols
+                        vstat0[s_i, cols] = st.BASIC
+            at_low = (vstat0 == st.NB_LOWER) | (vstat0 == st.NB_FIXED)
+            x0 = np.where(
+                at_low, lb, np.where(vstat0 == st.NB_UPPER, ub, 0.0)
+            )
+            x0 = np.where(vstat0 == st.BASIC, 0.0, x0)
+            r0 = b.copy()
+            for s_i, (_, _, cf) in enumerate(device_jobs):
+                r0[s_i, : cf.m] -= cscs[s_i] @ x0[s_i, : cf.n]
+            warm = dict(
+                basis0=basis0,
+                vstat0=vstat0,
+                art_sign0=np.where(r0 >= 0, 1.0, -1.0),
+                phase0=np.ones(batch, np.int32),
+            )
             if shared_A and batch > 1:
                 A = np.broadcast_to(A, (batch, m_pad, n_pad))
-            outs = solve_batched(A, b, c, lb, ub, cfg=config, max_iter=max_iter)
+            outs = solve_batched(
+                A, b, c, lb, ub, cfg=config, max_iter=max_iter, warm=warm
+            )
         for s_i, (idx, general, cf) in enumerate(device_jobs):
             status = int(outs.status[s_i])
             kind = st.STATUS_TO_TYPE[status]

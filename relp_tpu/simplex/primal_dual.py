@@ -24,14 +24,19 @@ their diagonal scaling d_j, so Δx_j ≡ 0.
 Mixed precision (the TPU story):
 - state, residuals and all A matvecs are f64 (cheap O(m·n) emulated ops;
   panel-looped so the f64-emulation limb buffers stay bounded),
-- K is formed as (A₃₂·√d)·(A₃₂·√d)ᵀ in f32 with ``Precision.HIGHEST``
-  (the MXU's 6-pass bf16 product — a bf16-truncated default stalls the
-  Newton direction the same way it stalled the fleet PDHG),
-- the Cholesky factor is f32 (XLA's Cholesky/TriangularSolve are f32-only
-  on this TPU) Jacobi-equilibrated for conditioning, and every triangular
-  solve is wrapped in f64 iterative refinement against the EXACT operator
-  K·v = A(d·(Aᵀv)) + δv — the factor is a preconditioner, not the truth.
-On CPU the factor dtype is f64 and refinement is a single polish step.
+- K is formed as (A·√d)·(A·√d)ᵀ with ``Precision.HIGHEST`` at the current
+  factorization precision (a bf16-truncated default stalls the Newton
+  direction the same way it stalled the fleet PDHG),
+- the Cholesky factor starts f32, Jacobi-equilibrated for conditioning,
+  and every triangular solve is wrapped in f64 iterative refinement
+  against the EXACT operator K·v = A(d·(Aᵀv)) + δv — the factor is a
+  preconditioner, not the truth,
+- a **precision ladder** escalates the factorization to f64 when the f32
+  preconditioner stops contracting (refinement residual ≥1e-2 or NaN
+  directions — DFL001-class conditioning; measured on this TPU the f64
+  Cholesky+solve at m=6144 runs 0.71 s vs f32's 0.03 s and itself floors
+  near 3e-6 relative at that size, so refinement stays on in f64 too).
+On CPU the factor dtype is f64 from the start.
 
 Regularization: primal ρ enters as d = 1/(z_l/s_l + z_u/s_u + ρ), dual δ
 on K's diagonal (Saunders-style quasi-definiteness); the host loop raises
@@ -86,16 +91,18 @@ def _max_step(s, ds, mask):
     return jnp.minimum(1.0, jnp.min(ratios))
 
 
-def _factor(A32, d, delta, fdt):
+def _factor(Afac, d, delta, fdt):
     """Form and factor K = (A√d)(A√d)ᵀ + δI with Jacobi equilibration.
 
-    Returns ``(L, js)`` where ``js`` is the Jacobi scale: the factored
-    matrix is S·K·S with S = diag(js), js = 1/√diag(K) — f32 Cholesky is
-    far more robust on the equilibrated matrix when d spans 10⁻⁸..10⁸
-    late in the interior-point path.
+    ``Afac`` is A at the factorization precision (f32 normally; the host
+    loop escalates to the f64 copy when f32 refinement stalls — see
+    ``solve_ipm``'s precision ladder).  Returns ``(L, js)`` where ``js``
+    is the Jacobi scale: the factored matrix is S·K·S with S = diag(js),
+    js = 1/√diag(K) — the Cholesky is far more robust on the equilibrated
+    matrix when d spans 10⁻⁸..10⁸ late in the interior-point path.
     """
-    w = jnp.sqrt(d).astype(A32.dtype)
-    B = A32 * w[None, :]
+    w = jnp.sqrt(d).astype(Afac.dtype)
+    B = Afac * w[None, :]
     K = jnp.matmul(B, B.T, precision=HIGHEST).astype(fdt)
     m = K.shape[0]
     K = K + delta.astype(fdt) * jnp.eye(m, dtype=fdt)
@@ -131,12 +138,12 @@ def _solve_normal(L, js, A64, d, delta, rhs, n_ir):
     return t, jnp.max(jnp.abs(r)) / scale
 
 
-@functools.partial(jax.jit, static_argnames=("fdt", "n_ir"))
-def ipm_step(
-    A64, A32, b, c, lbf, ubf, hl, hu, dmask,
+def _step_math(
+    A64, Afac, b, c, lbf, ubf, hl, hu, dmask,
     state: IpmState, delta, rho, nb, gamma, fdt, n_ir,
 ):
-    """One Mehrotra predictor-corrector iteration — a single device call.
+    """One Mehrotra predictor-corrector iteration (pure math; jitted by
+    :func:`ipm_step` and scanned by :func:`ipm_chunk`).
 
     ``hl``/``hu`` are f64 0/1 masks of finite lower/upper bounds,
     ``lbf``/``ubf`` the bounds with ±inf replaced by 0 (so masked
@@ -161,7 +168,7 @@ def ipm_step(
     dinv = hl * zl / sl + hu * zu / su + rho
     d = dmask / dinv
 
-    L, js = _factor(A32, d, delta, fdt)
+    L, js = _factor(Afac, d, delta, fdt)
 
     def direction(rcl, rcu, ir_acc):
         g = r_d - hl * rcl / sl + hu * rcu / su
@@ -230,8 +237,108 @@ def ipm_step(
     return IpmState(x1, y1, zl1, zu1), diag
 
 
+ipm_step = functools.partial(jax.jit, static_argnames=("fdt", "n_ir"))(
+    _step_math
+)
+
+
+class IpmChunkOut(NamedTuple):
+    state: IpmState
+    delta: jax.Array      # f64 — regularization after the chunk
+    rho: jax.Array
+    committed: jax.Array  # i32 — healthy iterations applied
+    bad: jax.Array        # i32 — consecutive unhealthy directions at exit
+    best_x: jax.Array     # best-KKT committed point within the chunk
+    best_y: jax.Array
+    best_kkt: jax.Array
+    diag: IpmDiag         # last committed iteration's diagnostics
+
+
+@functools.partial(jax.jit, static_argnames=("fdt", "n_ir", "k_max"))
+def ipm_chunk(
+    A64, Afac, b, c, lbf, ubf, hl, hu, dmask,
+    state: IpmState, delta, rho, nb, gamma, tol, fdt, n_ir, k_max,
+):
+    """Up to ``k_max`` Mehrotra iterations in ONE bounded device call.
+
+    The per-iteration host loop pays a full dispatch round-trip through
+    the remote TPU tunnel (~0.5 s measured on PILOT87 — more than the
+    iteration's compute); this runs the same host policy in-graph
+    instead: an unhealthy direction (non-finite, or normal-equation
+    refinement residual ≥ 1e-2) leaves the state unchanged and raises
+    δ ×100 (ρ = max(ρ, δ/100)); a healthy one commits and lets δ/ρ
+    shrink with μ.  The chunk exits early on KKT ≤ tol or 3 consecutive
+    unhealthy retries (the host then escalates the precision ladder).
+    The best committed point is tracked in-graph so a late blow-up never
+    loses the certificate candidate.
+    """
+    big = jnp.float64(jnp.inf)
+
+    def kkt_of(diag):
+        return jnp.maximum(jnp.maximum(diag.rp, diag.rd), diag.gap)
+
+    def cond(carry):
+        _, _, _, attempts, _, bad, _, _, _, diag, stop = carry
+        return (attempts < k_max) & ~stop
+
+    def body(carry):
+        (state, delta, rho, attempts, committed, bad,
+         best_x, best_y, best_kkt, _diag, _stop) = carry
+        new_state, diag = _step_math(
+            A64, Afac, b, c, lbf, ubf, hl, hu, dmask,
+            state, delta, rho, nb, gamma, fdt, n_ir,
+        )
+        kkt = kkt_of(diag)
+        healthy = (
+            jnp.isfinite(diag.mu) & jnp.isfinite(kkt) & (diag.ir_err < 1e-2)
+        )
+        state1 = jax.tree.map(
+            lambda new, old: jnp.where(healthy, new, old), new_state, state
+        )
+        delta1 = jnp.where(
+            healthy,
+            jnp.clip(delta, 1e-12, jnp.maximum(diag.mu * 1e-4, 1e-12)),
+            # data is O(1)-equilibrated: δ beyond ~1e2 only buries the
+            # Newton direction, never rescues the factorization
+            jnp.minimum(delta * 100.0, 1e2),
+        )
+        rho1 = jnp.where(
+            healthy,
+            jnp.clip(rho, 1e-12, jnp.maximum(diag.mu * 1e-6, 1e-12)),
+            jnp.maximum(rho, delta1 * 1e-2),
+        )
+        bad1 = jnp.where(healthy, 0, bad + 1).astype(jnp.int32)
+        improved = healthy & (kkt < best_kkt)
+        best_x1 = jnp.where(improved, state1.x, best_x)
+        best_y1 = jnp.where(improved, state1.y, best_y)
+        best_kkt1 = jnp.where(improved, kkt, best_kkt)
+        stop = (healthy & (kkt <= tol)) | (bad1 >= 3)
+        diag1 = jax.tree.map(
+            lambda new, old: jnp.where(healthy, new, old), diag, _diag
+        )
+        return (
+            state1, delta1, rho1, attempts + 1,
+            committed + healthy.astype(jnp.int32), bad1,
+            best_x1, best_y1, best_kkt1, diag1, stop,
+        )
+
+    zero_diag = IpmDiag(*([jnp.float64(jnp.nan)] * 10))
+    init = (
+        state, delta, rho, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        state.x, state.y, big, zero_diag, jnp.bool_(False),
+    )
+    (state, delta, rho, _attempts, committed, bad,
+     best_x, best_y, best_kkt, diag, _stop) = jax.lax.while_loop(
+        cond, body, init
+    )
+    return IpmChunkOut(
+        state=state, delta=delta, rho=rho, committed=committed, bad=bad,
+        best_x=best_x, best_y=best_y, best_kkt=best_kkt, diag=diag,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("fdt", "n_ir"))
-def ls_start(A64, A32, b, c, lbf, ubf, hl, hu, dmask, xfix, fdt, n_ir):
+def ls_start(A64, Afac, b, c, lbf, ubf, hl, hu, dmask, xfix, fdt, n_ir):
     """Mehrotra-style least-squares starting point.
 
     x̃ minimizes ‖x − x_fix‖ s.t. Ax = b (movable coordinates only); ỹ the
@@ -239,7 +346,7 @@ def ls_start(A64, A32, b, c, lbf, ubf, hl, hu, dmask, xfix, fdt, n_ir):
     The iterate is then shifted into the interior of the box.
     """
     delta0 = jnp.float64(1e-6)
-    L, js = _factor(A32, dmask.astype(A32.dtype), delta0, fdt)
+    L, js = _factor(Afac, dmask.astype(Afac.dtype), delta0, fdt)
 
     r0 = b - panel_matvec(A64, xfix)
     t, _ = _solve_normal(L, js, A64, dmask, delta0, r0, n_ir)
@@ -297,12 +404,24 @@ def solve_ipm(
     or ``None`` when the method cannot certify (caller falls back).
     """
     on_cpu = jax.default_backend() == "cpu"
-    fdt = jnp.float64 if on_cpu else jnp.float32
-    n_ir = 1 if on_cpu else 3
-
+    # precision ladder for the factorization: (fdt, factor matrix, n_ir).
+    # CPU factors in f64 natively; accelerators start on the fast f32
+    # Cholesky and escalate to the f64 one (still refinement-wrapped: the
+    # XLA f64 solve itself floors near 3e-6 relative at m≈6k) when the
+    # f32 preconditioner stops contracting.
     m, n = A_dense.shape
     A64 = jax.device_put(jnp.asarray(A_dense, jnp.float64))
-    A32 = jax.device_put(jnp.asarray(A_dense, jnp.float32))
+    if on_cpu:
+        ladder = [(jnp.float64, A64, 1)]
+    else:
+        A32 = jax.device_put(jnp.asarray(A_dense, jnp.float32))
+        ladder = [(jnp.float32, A32, 3), (jnp.float64, A64, 2)]
+    # DFL001-class operators NaN the f32 rung from the very start (the
+    # f32 GEMM's ~6e-8·√n rounding exceeds the start regularization on
+    # near-dependent rows); skip straight to f64 instead of paying a
+    # multi-minute remote compile for a program that commits nothing
+    rung = 1 if (not on_cpu and m > 4096) else 0
+    fdt, Afac, n_ir = ladder[rung]
 
     lb = np.asarray(lb, np.float64).copy()
     ub = np.asarray(ub, np.float64).copy()
@@ -328,7 +447,21 @@ def solve_ipm(
     )
     xfix_d = jax.device_put(jnp.asarray(xfix, jnp.float64))
 
-    state = ls_start(A64, A32, *args, xfix_d, fdt=fdt, n_ir=n_ir)
+    state = ls_start(A64, Afac, *args, xfix_d, fdt=fdt, n_ir=n_ir)
+    while not np.isfinite(float(jnp.max(jnp.abs(state.x)))):
+        # a NaN start poisons every later iterate (the health policy
+        # keeps the previous state — which IS the NaN start); escalate
+        # the factor precision and restart
+        if rung + 1 >= len(ladder):
+            return None
+        rung += 1
+        fdt, Afac, n_ir = ladder[rung]
+        if log:
+            log.info(
+                "ipm ls_start NaN — precision ladder → %s",
+                np.dtype(fdt).name,
+            )
+        state = ls_start(A64, Afac, *args, xfix_d, fdt=fdt, n_ir=n_ir)
 
     delta = 1e-8
     rho = 1e-10
@@ -338,55 +471,76 @@ def solve_ipm(
     stall = 0
     it = 0
     retries = 0
+    def _escalate(reason: str) -> bool:
+        nonlocal rung, fdt, Afac, n_ir
+        if rung + 1 >= len(ladder):
+            return False
+        rung += 1
+        fdt, Afac, n_ir = ladder[rung]
+        if log:
+            log.info(
+                "ipm precision ladder → %s (%s)", np.dtype(fdt).name, reason
+            )
+        return True
+
+    # the in-graph chunk already applies the per-iteration health policy
+    # (commit/retry, δ/ρ adaptation, best tracking); the host loop only
+    # steers the CHUNK-level decisions: the precision ladder, stall
+    # detection, and termination.  k=8 amortizes the remote dispatch
+    # round-trip (~0.5 s/call measured) over 8 iterations.
+    k_chunk = 1 if on_cpu else 8
     while it < max_iter:
-        new_state, diag = ipm_step(
-            A64, A32, *args, state,
+        out = ipm_chunk(
+            A64, Afac, *args, state,
             jnp.float64(delta), jnp.float64(rho), jnp.float64(nb),
-            jnp.float64(gamma), fdt=fdt, n_ir=n_ir,
+            jnp.float64(gamma), jnp.float64(tol), fdt=fdt, n_ir=n_ir,
+            k_max=k_chunk,
         )
+        diag = out.diag
+        committed = int(out.committed)
+        it += committed
+        delta, rho = float(out.delta), float(out.rho)
+        chunk_kkt = float(out.best_kkt)
         mu = float(diag.mu)
         kkt = max(float(diag.rp), float(diag.rd), float(diag.gap))
-        healthy = np.isfinite(mu) and np.isfinite(kkt) and float(
-            diag.ir_err
-        ) < 1e-2
-        if not healthy:
-            retries += 1
-            if retries > 6:
-                break
-            delta *= 100.0
-            rho = max(rho, delta * 1e-2)
-            if log:
-                log.info(
-                    "ipm it=%d unhealthy (mu=%.2e kkt=%.2e ir=%.2e) — "
-                    "retry with delta=%.1e", it, mu, kkt, float(diag.ir_err),
-                    delta,
-                )
-            continue
-        state = new_state
-        it += 1
         if log:
             log.info(
                 "ipm it=%d mu=%.3e rp=%.2e rd=%.2e gap=%.2e ap=%.2f "
-                "ad=%.2f sig=%.2e ir=%.1e",
+                "ad=%.2f sig=%.2e ir=%.1e best=%.2e",
                 it, mu, float(diag.rp), float(diag.rd), float(diag.gap),
                 float(diag.alpha_p), float(diag.alpha_d),
-                float(diag.sigma), float(diag.ir_err),
+                float(diag.sigma), float(diag.ir_err), chunk_kkt,
             )
-        if kkt < best_kkt:
-            if kkt < 0.9 * best_kkt:
+        if chunk_kkt < best_kkt:
+            if chunk_kkt < 0.9 * best_kkt:
                 stall = 0
-            best_kkt = kkt
-            best = (kkt, np.asarray(state.x), np.asarray(state.y), mu)
+            best_kkt = chunk_kkt
+            best = (
+                chunk_kkt, np.asarray(out.best_x), np.asarray(out.best_y), mu
+            )
         else:
-            stall += 1
-        if kkt <= tol:
+            stall += committed
+        if committed:
+            state = out.state
+        if int(out.bad) >= 3 or committed == 0:
+            # the current rung's preconditioner stopped producing usable
+            # directions: escalate; at the top rung count hard retries
+            retries += 1
+            if _escalate(
+                f"it={it} unhealthy (mu={mu:.2e} "
+                f"ir={float(diag.ir_err):.2e})"
+            ):
+                continue
+            if retries > 6:
+                break
+            continue
+        if np.isfinite(kkt) and kkt <= tol:
             break
+        if stall >= 4 and _escalate(f"it={it} stalled at kkt={best_kkt:.2e}"):
+            stall = 0
+            continue
         if stall >= 12:
             break
-        # shrink regularization with progress (keeps K quasi-definite
-        # early, lets the direction sharpen late)
-        delta = max(1e-12, min(delta, mu * 1e-4))
-        rho = max(1e-12, min(rho, mu * 1e-6))
 
     if best is None:
         return None
