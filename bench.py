@@ -57,6 +57,28 @@ SUITE_XL = [
     "KEN-07", "PDS-02", "CRE-A", "CRE-C", "PDS-06", "KEN-11",
     "DFL001", "STOCFOR3",
 ]
+# batched-suite objective checks (tests/test_netlib_suite.py::CASES — the
+# reference's own asserted optima, same tolerances)
+_SMALL_EXPECTED = {
+    "ADLITTLE": (2.254949632e05, 1e-3 * 2.3e5),
+    "AFIRO": (-464.75314, 1e-3),
+    "SC50A": (-6.457507706e01, 1e-5),
+    "SC50B": (-70.0, 1e-7),
+    "KB2": (-1.749900130e03, 1e-3),
+    "SC105": (-5.220206121e01, 1e-3),
+    "STOCFOR1": (-4.113197622e04, 1e-3 * 4.1e4),
+    "BLEND": (-30.81215, 1e-3),
+    "SCAGR7": (-2.331389824e06, 1e-1 * 23),
+    "SC205": (-5.220206121e01, 1e-5),
+    "SHARE2B": (-4.157322407e02, 1e-3),
+    "RECIPELP": (-266.616, 1e-2),
+    "LOTFI": (-25.26470606188, 1e-5),
+    "VTP-BASE": (1.2983146246e5, 1e-2 * 13),
+    "SHARE1B": (-7.6589318579e4, 1e-3 * 77),
+    "BOEING2": (-3.1501872801e2, 1e-3),
+    "BORE3D": (1.3730803942e3, 1e-2),
+}
+
 LARGE_EXPECTED = {
     "SCORPION": (1.8781248227381066e3, 1e-2),
     "25FV47": (5.5018459e03, 5.5018459e03 * 1e-5),
@@ -295,6 +317,11 @@ def main(argv=None) -> int:
              "path; crossover disabled in-bench to keep one engine timed)",
     )
     ap.add_argument("--quick", action="store_true", help="3 instances only")
+    ap.add_argument(
+        "--sequential", action="store_true",
+        help="small/full suites: solve instances one by one (the pre-r4 "
+             "headline mode) instead of grouped vmapped batches",
+    )
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument(
         "--no-highs", action="store_true",
@@ -381,6 +408,103 @@ def main(argv=None) -> int:
     )
     base = "/root/reference/tests/netlib/problem_files"
     paths = [(n, f"{base}/{n}.SIF") for n in names]
+
+    # ---- suite-level batching (VERDICT r3 item 7): the 19 small Netlib
+    # instances are embarrassingly parallel — group them by shape bucket
+    # and solve each group as ONE vmapped warm-started device program, so
+    # the suite wall amortizes dispatch and per-instance Python.  The
+    # vmapped dense core is a dense-A program, which the TPU remote
+    # compile helper has SIGABRTed on since 2026-08-17 — probe a tiny
+    # batch in a subprocess first and fall back to the sequential loop.
+    batched = (
+        args.suite in ("small", "full")
+        and not args.sequential
+        and not args.quick
+        and algorithm == "primal"
+    )
+    if batched and os.environ.get("RELP_TPU_PLATFORM") != "cpu":
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "from relp_tpu.io import import_lp\n"
+                 "from relp_tpu.simplex.driver import "
+                 "solve_general_forms_batched\n"
+                 "from relp_tpu.utils.config import SolverConfig\n"
+                 f"base = '{base}'\n"
+                 "gens = [import_lp(f'{base}/{n}.SIF')"
+                 " for n in ('AFIRO', 'SC50A', 'SC50B')]\n"
+                 "rs = solve_general_forms_batched(gens, SolverConfig())\n"
+                 "assert all(r.solution is not None for r in rs)\n"
+                 "print('batch-ok')"],
+                capture_output=True, timeout=1200, text=True,
+            )
+            batched = probe.returncode == 0 and "batch-ok" in probe.stdout
+        except subprocess.TimeoutExpired:
+            batched = False
+        print(
+            f"# batched-suite probe: {'ok' if batched else 'failed — sequential fallback'}",
+            file=sys.stderr,
+        )
+
+    if batched:
+        from relp_tpu.simplex.driver import solve_general_forms_batched
+
+        solve_general_forms_batched(
+            [import_lp(p) for _, p in paths], config
+        )  # warmup: compile every group's program
+        generals = [import_lp(p) for _, p in paths]
+        t0 = time.perf_counter()
+        results = solve_general_forms_batched(generals, config)
+        total_wall = time.perf_counter() - t0
+        solved = 0
+        total_iters = 0
+        per_instance = {}
+        objs = {}
+        for (name, _), res in zip(paths, results):
+            ok = res.kind is LinearProgramType.FINITE_OPTIMUM
+            solved += int(ok)
+            iters = res.simplex.iterations if res.simplex else 0
+            total_iters += iters
+            obj = res.solution.objective_value if res.solution else None
+            objs[name] = obj
+            entry = {"status": res.kind.value, "iters": iters,
+                     "objective": obj}
+            exp = LARGE_EXPECTED.get(name) or _SMALL_EXPECTED.get(name)
+            if exp is not None and obj is not None:
+                entry["objective_ok"] = bool(abs(obj - exp[0]) <= exp[1])
+                solved -= int(ok and not entry["objective_ok"])
+            per_instance[name] = entry
+            if args.verbose:
+                print(f"# {name}: {res.kind.value} iters={iters}",
+                      file=sys.stderr)
+
+        import jax
+
+        kind = jax.devices()[0].device_kind
+        payload = {
+            "metric": f"netlib_{args.suite}_wall_s",
+            "value": round(total_wall, 3),
+            "unit": "seconds (lower is better)",
+            "vs_baseline": round(
+                BASELINE_WALL_S[args.suite] / max(total_wall, 1e-9), 3
+            ),
+            "mode": "batched",
+            "solved": f"{solved}/{len(names)}",
+            "iters_per_s": round(total_iters / max(total_wall, 1e-9), 2),
+            "total_iters": total_iters,
+            "hardware": f"{len(jax.devices())}x {kind}",
+        }
+        if not args.no_highs:
+            highs_wall, highs_solved = _highs_wall(paths, verbose=args.verbose)
+            payload["highs_wall_s"] = round(highs_wall, 3)
+            payload["highs_solved"] = f"{highs_solved}/{len(names)}"
+            payload["vs_highs_wall"] = round(
+                highs_wall / max(total_wall, 1e-9), 3
+            )
+        if args.verbose:
+            payload["instances"] = per_instance
+        print(json.dumps(payload))
+        return 0
 
     # warmup pass: populate the jit cache for every padded shape bucket
     for name, path in paths:

@@ -145,11 +145,13 @@ def main(argv=None) -> int:
     )
     ap.add_argument(
         "--xl-engine",
-        choices=["auto", "lu", "dense"],
+        choices=["auto", "lu", "dense", "primal"],
         default="auto",
-        help="with --algorithm dual: 'lu' forces the host sparse-LU dual "
+        help="XL-scale engine: 'lu' forces the host sparse-LU dual "
         "simplex at any size (SuperLU refactorization — FIT2P in 9.7s vs "
-        "194s on-device); 'auto' uses it above the XL row threshold",
+        "194s on-device); 'auto' uses it above the XL row threshold; "
+        "'primal' stays on the externally refactorized DEVICE primal "
+        "at any size (no host-LU routing)",
     )
     ap.add_argument(
         "--dual-pricing",

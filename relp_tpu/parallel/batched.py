@@ -25,19 +25,28 @@ from relp_tpu.utils.config import SolverConfig
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _solve_batch(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int):
+    # a 2-D A is SHARED across the fleet (in_axes=None): one device copy
+    # serves every lane and the per-lane matvecs fuse into GEMMs — a
+    # materialized (batch, m, n) stack of a shared 80BAU3B-scale A would
+    # be tens of GB
+    a_ax = None if A.ndim == 2 else 0
     solver = functools.partial(solve_core, cfg=cfg, max_iter=max_iter)
-    return jax.vmap(solver)(A, b, c, lb, ub)
+    return jax.vmap(solver, in_axes=(a_ax, 0, 0, 0, 0))(A, b, c, lb, ub)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _solve_batch_warm(A, b, c, lb, ub, basis0, vstat0, art_sign0, phase0,
                       cfg: SolverConfig, max_iter: int):
+    a_ax = None if A.ndim == 2 else 0
+
     def solver(A, b, c, lb, ub, basis0, vstat0, art_sign0, phase0):
         return solve_core(
             A, b, c, lb, ub, cfg=cfg, max_iter=max_iter,
             basis0=basis0, vstat0=vstat0, art_sign0=art_sign0, phase0=phase0,
         )
-    return jax.vmap(solver)(A, b, c, lb, ub, basis0, vstat0, art_sign0, phase0)
+    return jax.vmap(solver, in_axes=(a_ax,) + (0,) * 8)(
+        A, b, c, lb, ub, basis0, vstat0, art_sign0, phase0
+    )
 
 
 def solve_batched(
@@ -62,7 +71,7 @@ def solve_batched(
         # MB — the remote TPU tunnel moves ~0.5 GB/s)
         arrays = list(jax.device_put(tuple(arrays)))
     if mesh is not None:
-        n = arrays[0].shape[2]
+        n = arrays[0].shape[-1]
         cols_ok = n % mesh.shape["cols"] == 0
         col_axis = "cols" if cols_ok else None
         shardings = [
@@ -79,12 +88,12 @@ def solve_batched(
     from relp_tpu.simplex import status as st_codes
 
     chunk = max(1, int(cfg.device_chunk_iters))
-    m_rows = arrays[0].shape[1]
-    batch_n = arrays[0].shape[0]
+    m_rows = arrays[0].shape[-2]
+    batch_n = arrays[1].shape[0]
     # scale down for problem size AND batch width (per-step cost multiplies)
     scale_div = max(1.0, (m_rows / 1024.0) ** 2) * max(1.0, batch_n / 4.0)
     chunk = max(200, int(chunk / scale_div))
-    n_cols = arrays[0].shape[2]
+    n_cols = arrays[0].shape[-1]
     done = 0
     if warm is not None:
         out = _solve_batch_warm(

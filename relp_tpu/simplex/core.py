@@ -116,29 +116,25 @@ def _nonbasic_values(vstat, lb_tot, ub_tot):
     return jnp.where(at_lower, lb_tot, jnp.where(at_upper, ub_tot, 0.0))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def solve_core(
-    A, b, c, lb, ub, cfg: SolverConfig, max_iter: int, basis0=None, vstat0=None,
-    slack_of_row=None, art_sign0=None, phase0=None,
-) -> SolveOutput:
-    """Solve  min c@x  s.t.  A@x == b, lb <= x <= ub  (all float64, padded).
+def _make_primal_kernel(A, b, c, lb, ub, cfg: SolverConfig, max_iter,
+                        external: bool = False):
+    """Build the primal kernel (refactor/repair/body/cond) over a fixed
+    problem.  ``A`` is already an amatrix (f32 shadow attached when the
+    config prices in f32).
 
-    Padded columns must have lb == ub == 0 and c == 0; padded rows must be
-    zero in ``A`` with ``b == 0`` (their artificials stay basic at level 0).
-
-    Warm start (the reference's ``FullInitialBasis``/``IM::from_basis`` path,
-    two_phase/mod.rs:82-113, carry/mod.rs:428-463): pass ``basis0`` (i32[m],
-    structural column indices) and ``vstat0`` (i32[n] statuses).  The basis
-    inverse is refactorized from the given columns; a singular warm basis
-    falls back to a phase-1 repair automatically.
+    ``external=False`` is the classic in-loop form: the body runs the
+    refactorization as a ``lax.cond`` branch.  ``external=True`` is the
+    XL form (the dual engine's ``dual_xl_*`` pattern): the body never
+    refactorizes -- ``cond`` exits the loop whenever one is pending and
+    the HOST runs it as separate bounded device programs
+    (``primal_xl_*`` below).  Under this TPU's f64 emulation the in-loop
+    refactor branch holds ~10 GB of matmul limb temporaries live next to
+    the O(m^2) loop state -- past m_pad ~ 12k the compile cannot fit HBM
+    (the round-1..3 ``_PRIMAL_INLOOP_MAX_M`` cap this factory removes).
     """
-    A = as_amatrix(A)  # DenseMatrix or EllMatrix (trace-time dispatch — the
-    #                    TPU analogue of the reference's MatrixProvider
-    #                    static dispatch, matrix_provider/mod.rs:37-136)
     m, n = A.shape
     f = A.dtype
 
-    # Bounds over the virtual [structural+slack | artificial] column pool.
     lb_tot = jnp.concatenate([lb, jnp.zeros(m, f)])
     ub_tot_p2 = jnp.concatenate([ub, jnp.zeros(m, f)])  # artificials pinned to 0 in phase 2
 
@@ -157,115 +153,6 @@ def solve_core(
         viol=jnp.zeros((), f),
         pblock=jnp.int32(0),
     )
-    need_a32 = cfg.mixed_pricing or cfg.pricing == "devex"
-    if need_a32:
-        A = A.with_f32()
-
-    if basis0 is None:
-        # ---- cold start: all-artificial basis (reference `Fully` kind) ----
-        finite_lb = jnp.isfinite(lb)
-        finite_ub = jnp.isfinite(ub)
-        vstat0_n = jnp.where(
-            lb == ub,
-            st.NB_FIXED,
-            jnp.where(finite_lb, st.NB_LOWER, jnp.where(finite_ub, st.NB_UPPER, st.NB_FREE)),
-        )
-        vstat_full = jnp.concatenate(
-            [vstat0_n, jnp.full(m, st.BASIC, jnp.int32)]
-        ).astype(jnp.int32)
-        x0 = _nonbasic_values(vstat_full[:n], lb, ub)
-        r0 = b - A.matvec(x0)
-        art_sign = jnp.where(r0 >= 0, 1.0, -1.0).astype(f)
-
-        if slack_of_row is not None:
-            # ---- slack crash: use each row's slack column as the initial
-            # basic variable where that yields a feasible value (reference
-            # `PartialInitialBasis` specialization, matrix_data.rs:432 /
-            # phase_one.rs:66-102) — phase 1 then only owns the rows whose
-            # slack start would violate its bounds ----
-            rows_i = jnp.arange(m)
-            has_slack = slack_of_row >= 0
-            scj = jnp.clip(slack_of_row, 0, n - 1)
-            coeff = A.entries(rows_i, scj)
-            ok_coeff = jnp.abs(coeff) > 1e-12
-            # exclude the slack's own nonbasic contribution from the residual
-            r_excl = r0 + jnp.where(has_slack, coeff * x0[scj], 0.0)
-            s_val = r_excl / jnp.where(ok_coeff, coeff, 1.0)
-            feas = (
-                has_slack
-                & ok_coeff
-                & (s_val >= jnp.take(lb, scj))
-                & (s_val <= jnp.take(ub, scj))
-            )
-            basis_init = jnp.where(feas, scj, n + rows_i).astype(jnp.int32)
-            # mark crashed-in slacks basic (artificial slots are already)
-            vstat_full = vstat_full.at[basis_init].set(st.BASIC)
-            xB0 = jnp.where(feas, s_val, jnp.abs(r0))
-            art_sign = jnp.where(feas, 1.0, art_sign).astype(f)
-            Binv0 = jnp.diag(jnp.where(feas, 1.0 / jnp.where(ok_coeff, coeff, 1.0), art_sign))
-            # phase-1 duals: cB has 1 on artificial rows, 0 on slack rows
-            pi0 = jnp.where(feas, 0.0, art_sign)
-        else:
-            basis_init = n + jnp.arange(m, dtype=jnp.int32)
-            xB0 = jnp.abs(r0)
-            Binv0 = jnp.diag(art_sign)  # diag(±1) is its own inverse
-            pi0 = art_sign  # (1,…,1)·diag(±1): phase-1 duals
-
-        state0 = State(
-            basis=basis_init,
-            vstat=vstat_full,
-            xB=xB0,
-            Binv=Binv0,
-            pi=pi0,
-            art_sign=art_sign,
-            phase=jnp.int32(1),
-            status=jnp.int32(st.RUNNING),
-            it=jnp.int32(0),
-            since_refactor=jnp.int32(0),
-            degen_count=jnp.int32(0),
-            bland=jnp.bool_(cfg.pricing == "bland"),
-            repairs=jnp.int32(0),
-            w=jnp.ones(n, f),
-            **eta0,
-            **obs0,
-        )
-    else:
-        # ---- warm start from a caller-provided basis (may include
-        # artificial entries >= n, e.g. for equality rows a basis file
-        # leaves uncovered) ----
-        vstat_full = jnp.concatenate(
-            [vstat0.astype(jnp.int32), jnp.full(m, st.NB_LOWER, jnp.int32)]
-        )
-        # artificial signs from the nonbasic-point residual so warm basic
-        # artificials start at non-negative levels
-        if art_sign0 is not None:
-            art_sign_w = art_sign0.astype(f)
-        else:
-            x0w = _nonbasic_values(vstat_full[:n], lb, ub)
-            x0w = jnp.where(vstat_full[:n] == st.BASIC, 0.0, x0w)
-            r0w = b - A.matvec(x0w)
-            art_sign_w = jnp.where(r0w >= 0, 1.0, -1.0).astype(f)
-        state0 = State(
-            basis=basis0.astype(jnp.int32),
-            vstat=vstat_full,
-            xB=jnp.zeros(m, f),
-            Binv=jnp.eye(m, dtype=f),  # placeholder; refactor fires first
-            pi=jnp.zeros(m, f),
-            art_sign=art_sign_w,
-            # resumed phase carries over (chunked continuation); fresh warm
-            # starts begin in phase 1 and transition after their first
-            # refactorization computes the true artificial mass
-            phase=jnp.int32(1) if phase0 is None else phase0.astype(jnp.int32),
-            status=jnp.int32(st.RUNNING),
-            it=jnp.int32(0),
-            since_refactor=jnp.int32(cfg.refactor_period),  # force refactor
-            degen_count=jnp.int32(0),
-            bland=jnp.bool_(cfg.pricing == "bland"),
-            repairs=jnp.int32(0),
-            w=jnp.ones(n, f),
-            **eta0,
-            **obs0,
-        )
 
     def art_mass(s: State):
         return jnp.sum(jnp.where(s.basis >= n, jnp.abs(s.xB), 0.0))
@@ -418,7 +305,13 @@ def solve_core(
             ).astype(jnp.int32),
         )
 
-        s = lax.cond(s.since_refactor >= cfg.refactor_period, refactor, lambda s: s, s)
+        if not external:
+            s = lax.cond(
+                s.since_refactor >= cfg.refactor_period, refactor,
+                lambda s: s, s,
+            )
+        # external: cond exits the loop instead; the host runs the
+        # refactorization as separate bounded programs and re-enters
         if use_eta:
             # fold the pending eta block once it is full (must run before a
             # pivot could need slot T; a refactorization above resets it)
@@ -839,7 +732,159 @@ def solve_core(
         return lax.cond(needs_repair, repair, lambda t: t, s_out)
 
     def cond(s: State):
-        return (s.status == st.RUNNING) & (s.it < max_iter)
+        running = (s.status == st.RUNNING) & (s.it < max_iter)
+        if external:
+            running &= s.since_refactor < cfg.refactor_period
+        return running
+
+    from types import SimpleNamespace
+
+    return SimpleNamespace(
+        body=body, cond=cond, refactor=refactor, repair=repair,
+        art_mass=art_mass, eta0=eta0, obs0=obs0, T=T,
+        trace_cap=trace_cap, lb_tot=lb_tot, ub_tot_p2=ub_tot_p2,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def solve_core(
+    A, b, c, lb, ub, cfg: SolverConfig, max_iter: int, basis0=None, vstat0=None,
+    slack_of_row=None, art_sign0=None, phase0=None,
+) -> SolveOutput:
+    """Solve  min c@x  s.t.  A@x == b, lb <= x <= ub  (all float64, padded).
+
+    Padded columns must have lb == ub == 0 and c == 0; padded rows must be
+    zero in ``A`` with ``b == 0`` (their artificials stay basic at level 0).
+
+    Warm start (the reference's ``FullInitialBasis``/``IM::from_basis`` path,
+    two_phase/mod.rs:82-113, carry/mod.rs:428-463): pass ``basis0`` (i32[m],
+    structural column indices) and ``vstat0`` (i32[n] statuses).  The basis
+    inverse is refactorized from the given columns; a singular warm basis
+    falls back to a phase-1 repair automatically.
+    """
+    A = as_amatrix(A)  # DenseMatrix or EllMatrix (trace-time dispatch — the
+    #                    TPU analogue of the reference's MatrixProvider
+    #                    static dispatch, matrix_provider/mod.rs:37-136)
+    m, n = A.shape
+    f = A.dtype
+
+    # Bounds over the virtual [structural+slack | artificial] column pool.
+    need_a32 = cfg.mixed_pricing or cfg.pricing == "devex"
+    if need_a32:
+        A = A.with_f32()
+
+    K = _make_primal_kernel(A, b, c, lb, ub, cfg, max_iter)
+    lb_tot, ub_tot_p2 = K.lb_tot, K.ub_tot_p2
+    trace_cap = K.trace_cap
+    eta0, obs0 = K.eta0, K.obs0
+    art_mass, refactor = K.art_mass, K.refactor
+    cond, body = K.cond, K.body
+
+    if basis0 is None:
+        # ---- cold start: all-artificial basis (reference `Fully` kind) ----
+        finite_lb = jnp.isfinite(lb)
+        finite_ub = jnp.isfinite(ub)
+        vstat0_n = jnp.where(
+            lb == ub,
+            st.NB_FIXED,
+            jnp.where(finite_lb, st.NB_LOWER, jnp.where(finite_ub, st.NB_UPPER, st.NB_FREE)),
+        )
+        vstat_full = jnp.concatenate(
+            [vstat0_n, jnp.full(m, st.BASIC, jnp.int32)]
+        ).astype(jnp.int32)
+        x0 = _nonbasic_values(vstat_full[:n], lb, ub)
+        r0 = b - A.matvec(x0)
+        art_sign = jnp.where(r0 >= 0, 1.0, -1.0).astype(f)
+
+        if slack_of_row is not None:
+            # ---- slack crash: use each row's slack column as the initial
+            # basic variable where that yields a feasible value (reference
+            # `PartialInitialBasis` specialization, matrix_data.rs:432 /
+            # phase_one.rs:66-102) — phase 1 then only owns the rows whose
+            # slack start would violate its bounds ----
+            rows_i = jnp.arange(m)
+            has_slack = slack_of_row >= 0
+            scj = jnp.clip(slack_of_row, 0, n - 1)
+            coeff = A.entries(rows_i, scj)
+            ok_coeff = jnp.abs(coeff) > 1e-12
+            # exclude the slack's own nonbasic contribution from the residual
+            r_excl = r0 + jnp.where(has_slack, coeff * x0[scj], 0.0)
+            s_val = r_excl / jnp.where(ok_coeff, coeff, 1.0)
+            feas = (
+                has_slack
+                & ok_coeff
+                & (s_val >= jnp.take(lb, scj))
+                & (s_val <= jnp.take(ub, scj))
+            )
+            basis_init = jnp.where(feas, scj, n + rows_i).astype(jnp.int32)
+            # mark crashed-in slacks basic (artificial slots are already)
+            vstat_full = vstat_full.at[basis_init].set(st.BASIC)
+            xB0 = jnp.where(feas, s_val, jnp.abs(r0))
+            art_sign = jnp.where(feas, 1.0, art_sign).astype(f)
+            Binv0 = jnp.diag(jnp.where(feas, 1.0 / jnp.where(ok_coeff, coeff, 1.0), art_sign))
+            # phase-1 duals: cB has 1 on artificial rows, 0 on slack rows
+            pi0 = jnp.where(feas, 0.0, art_sign)
+        else:
+            basis_init = n + jnp.arange(m, dtype=jnp.int32)
+            xB0 = jnp.abs(r0)
+            Binv0 = jnp.diag(art_sign)  # diag(±1) is its own inverse
+            pi0 = art_sign  # (1,…,1)·diag(±1): phase-1 duals
+
+        state0 = State(
+            basis=basis_init,
+            vstat=vstat_full,
+            xB=xB0,
+            Binv=Binv0,
+            pi=pi0,
+            art_sign=art_sign,
+            phase=jnp.int32(1),
+            status=jnp.int32(st.RUNNING),
+            it=jnp.int32(0),
+            since_refactor=jnp.int32(0),
+            degen_count=jnp.int32(0),
+            bland=jnp.bool_(cfg.pricing == "bland"),
+            repairs=jnp.int32(0),
+            w=jnp.ones(n, f),
+            **eta0,
+            **obs0,
+        )
+    else:
+        # ---- warm start from a caller-provided basis (may include
+        # artificial entries >= n, e.g. for equality rows a basis file
+        # leaves uncovered) ----
+        vstat_full = jnp.concatenate(
+            [vstat0.astype(jnp.int32), jnp.full(m, st.NB_LOWER, jnp.int32)]
+        )
+        # artificial signs from the nonbasic-point residual so warm basic
+        # artificials start at non-negative levels
+        if art_sign0 is not None:
+            art_sign_w = art_sign0.astype(f)
+        else:
+            x0w = _nonbasic_values(vstat_full[:n], lb, ub)
+            x0w = jnp.where(vstat_full[:n] == st.BASIC, 0.0, x0w)
+            r0w = b - A.matvec(x0w)
+            art_sign_w = jnp.where(r0w >= 0, 1.0, -1.0).astype(f)
+        state0 = State(
+            basis=basis0.astype(jnp.int32),
+            vstat=vstat_full,
+            xB=jnp.zeros(m, f),
+            Binv=jnp.eye(m, dtype=f),  # placeholder; refactor fires first
+            pi=jnp.zeros(m, f),
+            art_sign=art_sign_w,
+            # resumed phase carries over (chunked continuation); fresh warm
+            # starts begin in phase 1 and transition after their first
+            # refactorization computes the true artificial mass
+            phase=jnp.int32(1) if phase0 is None else phase0.astype(jnp.int32),
+            status=jnp.int32(st.RUNNING),
+            it=jnp.int32(0),
+            since_refactor=jnp.int32(cfg.refactor_period),  # force refactor
+            degen_count=jnp.int32(0),
+            bland=jnp.bool_(cfg.pricing == "bland"),
+            repairs=jnp.int32(0),
+            w=jnp.ones(n, f),
+            **eta0,
+            **obs0,
+        )
 
     final = lax.while_loop(cond, body, state0)
     final = final._replace(
@@ -893,3 +938,64 @@ def solve_core(
         trace=final.trace,
         viol=final.viol,
     )
+
+
+# ---------------------------------------------------------------------------
+# Externally refactorized (XL) primal entry points — the dual engine's
+# ``dual_xl_*`` pattern (simplex/dual.py) applied to the primal core.  The
+# driver orchestrates:
+#
+#   rebuild/polish (dual_xl_* — basis-inverse programs are shared)
+#        → primal_xl_derive → primal_xl_iterate ... (refactor pending) ─┐
+#        ▲                                                              │
+#        └──────────────────────────────────────────────────────────────┘
+#
+# Each program's HBM peak stays bounded; ``primal_xl_iterate`` donates the
+# O(m²) inverse so chunked continuations never copy it.  The basis-repair
+# branch stays IN the loop (it builds a diagonal inverse — no heavyweight
+# inversion), so only the m³ refactorization work leaves the trace.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(5,))
+def primal_xl_iterate(A, b, c, lb, ub, state: State, cfg: SolverConfig,
+                      max_iter) -> State:
+    """Run primal iterations until terminal, out of budget, or a
+    refactorization is pending (``since_refactor >= cfg.refactor_period``).
+    ``state`` must carry a FRESH inverse (host just refactorized)."""
+    A = as_amatrix(A)
+    if cfg.mixed_pricing or cfg.pricing == "devex":
+        A = A.with_f32()
+    K = _make_primal_kernel(A, b, c, lb, ub, cfg, max_iter, external=True)
+    return lax.while_loop(K.cond, K.body, state)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def primal_xl_derive(A, b, c, lb, ub, basis, vstat, art_sign, phase, w,
+                     Binv, cfg: SolverConfig):
+    """Recompute (xB, π, w, art_mass) from a freshly refactorized inverse —
+    the in-loop ``refactor``'s ``rebuild`` arithmetic as its own small
+    program (phase-aware costs, artificial-level snapping, devex reset)."""
+    A = as_amatrix(A)
+    m, n = A.shape
+    f = A.dtype
+    lb_tot = jnp.concatenate([lb, jnp.zeros(m, f)])
+    ub_tot = jnp.concatenate([ub, jnp.zeros(m, f)])
+    basis = basis.astype(jnp.int32)
+    nb = _nonbasic_values(vstat, lb_tot, ub_tot)
+    nb = jnp.where(vstat == st.BASIC, 0.0, nb)
+    r = b - A.matvec(nb[:n])
+    xB = Binv @ r
+    phase1 = phase == 1
+    c_eff = jnp.where(phase1, jnp.zeros_like(c), c)
+    cB = jnp.where(
+        basis >= n,
+        jnp.where(phase1, 1.0, 0.0),
+        jnp.take(c_eff, jnp.clip(basis, 0, n - 1)),
+    )
+    pi = cB @ Binv
+    is_art = basis >= n
+    xB = jnp.where(is_art & (jnp.abs(xB) <= cfg.eps_feas), 0.0, xB)
+    w = jnp.where(jnp.max(w) > 1e6, jnp.ones_like(w), w)
+    art = jnp.sum(jnp.where(is_art, jnp.abs(xB), 0.0))
+    return xB, pi, w, art

@@ -88,7 +88,10 @@ class SolverConfig:
     # scipy splu refactorization + eta product form, the reference's
     # Markowitz-LU counterpart; O(nnz)-per-pivot where the dense device
     # inverse pays O(m²) HBM — STOCFOR3 went 1.79 it/s → >100 it/s);
-    # "dense" = the round-2 externally-refactorized device path.
+    # "dense" = the round-2 externally-refactorized device DUAL path;
+    # "primal" = the externally refactorized device PRIMAL at any size
+    # (primal_xl_* in simplex/core.py — no host-LU routing; also forces
+    # that path below the threshold, which is how CPU tests exercise it).
     xl_engine: str = "auto"
 
     # How the periodic refactorization obtains the inverse:
