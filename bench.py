@@ -212,9 +212,13 @@ def run_fleet(args, base_dir) -> int:
     # step; one host HiGHS base solve warm-starts the whole fleet
     # (presolve off keeps the A stack shared).  "simplex" = the vmapped
     # two-phase core (exactness path).
+    # presolve stays OFF for both engines: per-scenario presolve would
+    # make the lowered shapes/structures diverge, splitting the fleet into
+    # singleton groups and losing the shared-A fast path AND the
+    # base-solve warm start (both engines warm-start from one base solve).
     config = SolverConfig(
         algorithm="pdlp" if args.fleet_engine == "pdlp" else "primal",
-        presolve=args.fleet_engine != "pdlp",
+        presolve=False,
     )
     # compile warmup on a small prefix fleet; the vmapped program's shape
     # depends on the batch size, so warm the FULL batch shape once
