@@ -316,7 +316,8 @@ def main(argv=None) -> int:
         help="override the inverse backend (xl defaults to eta)",
     )
     ap.add_argument(
-        "--algorithm", choices=["primal", "dual", "pdlp"], default=None,
+        "--algorithm", choices=["primal", "dual", "pdlp", "ipm"],
+        default=None,
         help="solver engine (xl defaults to pdlp — the first-order scale "
              "path; crossover disabled in-bench to keep one engine timed)",
     )
@@ -403,7 +404,10 @@ def main(argv=None) -> int:
     config = SolverConfig(
         inverse=inverse,
         algorithm=algorithm,
-        pdlp_crossover=False if algorithm == "pdlp" else True,
+        # first-order/interior engines are timed WITHOUT the crossover
+        # polish (one engine per number; the suite's objective checks
+        # accept the certified non-vertex point)
+        pdlp_crossover=algorithm not in ("pdlp", "ipm"),
         # XL tier: the f64 relative-KKT floor sits above 1e-6 on STOCFOR3
         # (~2.5e-6, where the objective is already within 6e-9 of Koch);
         # the suite's objective checks are at rel 1e-5, so accept 3e-6

@@ -272,7 +272,12 @@ def _make_primal_kernel(A, b, c, lb, ub, cfg: SolverConfig, max_iter,
                 **eta0,
             )
 
-        return lax.cond(min_piv < cfg.singular_tol, repair, rebuild, s)
+        # NaN-safe routing: a NaN pivot estimate (Inf/NaN arithmetic in the
+        # f32 LU seed on a pathological crossover basis) must route to
+        # repair, not rebuild with a garbage inverse (`NaN < tol` is False)
+        return lax.cond(
+            ~(min_piv >= cfg.singular_tol), repair, rebuild, s
+        )
 
     # ---- loop body ----
     def body(s: State) -> State:

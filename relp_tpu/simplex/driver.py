@@ -675,17 +675,32 @@ def solve_computational_form(
                     X1, resid1 = dual_xl_polish(A, basis, art_sign, Binv)
                 else:
                     X1, resid1 = None, np.inf
-                if np.isfinite(float(resid1)) and float(resid1) < 1e-9:
+                if (
+                    np.isfinite(float(resid1))
+                    and float(resid1) < 1e-9
+                    and float(jnp.max(jnp.abs(X1))) < 1e13
+                ):
                     Binv = X1
                 else:
                     del X1
                     Binv, resid2 = dual_xl_rebuild(
                         A, basis, art_sign, cfg=cfg_xl
                     )
-                    if not np.isfinite(float(resid2)) or float(resid2) > 1e-6:
+                    # a basis can pass the residual check yet carry a
+                    # ~1/σ_min inverse beyond the f64-emulation range the
+                    # core's watchdog allows (crossover guesses) — treat
+                    # it like a singular basis
+                    bmag = float(jnp.max(jnp.abs(Binv)))
+                    if (
+                        not np.isfinite(float(resid2))
+                        or float(resid2) > 1e-6
+                        or not np.isfinite(bmag)
+                        or bmag > 1e13
+                    ):
                         _log.warning(
-                            "primal-xl: singular basis at refactorization "
-                            "(resid=%s) — artificial restart", float(resid2),
+                            "primal-xl: singular/ill-conditioned basis at "
+                            "refactorization (resid=%s, |Binv|=%.1e) — "
+                            "artificial restart", float(resid2), bmag,
                         )
                         Binv = _host_repair()
             xB, pi, w2, art = primal_xl_derive(
@@ -717,6 +732,7 @@ def solve_computational_form(
         )
         done_here = 0
         stalled_cycles = 0
+        host_repairs = 0
         status = st.ITERATION_LIMIT
         while done_here < budget:
             this_chunk = min(chunk, budget - done_here)
@@ -734,6 +750,29 @@ def solve_computational_form(
                     "wall=%.1fs", it_here, done_here, status, int(s.phase),
                     t.peek(),
                 )
+            if status == st.NUMERICAL and host_repairs < 2:
+                # mid-chunk state breakage (ill-conditioned crossover
+                # basis drifting past the f64-emulation range): the
+                # in-loop core's answer is repair() — mirror it on host
+                host_repairs += 1
+                basis, vstat = s.basis, s.vstat
+                art_sign, phase, w = s.art_sign, s.phase, s.w
+                _log.warning(
+                    "primal-xl: broken state at it=%d — artificial restart "
+                    "(%d/2)", done_here, host_repairs,
+                )
+                Binv0 = _host_repair()  # resets basis/vstat/art_sign/phase
+                w = jnp.ones(n_pad)     # devex reference reset (in-loop
+                #                         repair does the same)
+                Binv, xB, pi = _refactor_derive(Binv0)
+                state = s._replace(
+                    basis=basis, vstat=vstat, art_sign=art_sign,
+                    phase=phase, Binv=Binv, xB=xB, pi=pi, w=w,
+                    status=jnp.int32(st.RUNNING),
+                    since_refactor=jnp.int32(0), it=jnp.int32(0),
+                    bland=jnp.bool_(True),
+                )
+                continue
             if status != st.RUNNING or done_here >= budget:
                 state = s
                 break
@@ -1557,7 +1596,22 @@ def solve_computational_form(
                     np.where(np.isfinite(ub), ub - xp, np.inf),
                 )
                 cand = np.flatnonzero(interior)
-                cand = cand[np.argsort(-depth[cand])][:m_pad]
+                cand = cand[np.argsort(-depth[cand])]
+                # PROVABLY NONSINGULAR basic set: the strict triangular
+                # (Bixby) crash over the interior candidates in priority
+                # order.  Taking the "m most interior" columns directly
+                # builds a rank-deficient basis on degenerate instances
+                # (the IPM converges to the analytic center of the optimal
+                # FACE — far more columns look interior than rank allows):
+                # the singular-repair then demoted everything to faraway
+                # bounds and the "polish" became a cold phase-1 (PILOT87:
+                # art mass 2e5, 8k wasted pivots, runs/ipm_tpu_r4c.log).
+                from relp_tpu.simplex.lu_host import triangular_crash
+
+                basis0 = triangular_crash(
+                    _a_pad_csc(), cand, n_pad
+                ).astype(np.int32)
+                chosen = basis0[basis0 < n_pad]
                 vstat0 = np.where(
                     fixed, st.NB_FIXED,
                     np.where(
@@ -1573,39 +1627,117 @@ def solve_computational_form(
                         ),
                     ),
                 ).astype(np.int32)
-                vstat0[cand] = st.BASIC
-                art_rows = list(range(m, m_pad)) + list(range(m))
-                fill = m_pad - len(cand)
-                basis0 = np.concatenate([
-                    cand,
-                    n_pad + np.asarray(art_rows[:fill], np.int64),
-                ]).astype(np.int32)
+                vstat0[chosen] = st.BASIC
+                # SUPERBASIC handling (the crossover "push" phase, done as
+                # two warm solves): interior columns the crash did NOT
+                # choose cannot sit nonbasic at a faraway bound — FIX them
+                # at their first-order values (dual feasible regardless of
+                # d-sign; the uncovered rows' artificials then start at
+                # ≈0 level because Σ contributions ≈ b), polish to a
+                # vertex of the restricted problem, then UNFIX with a
+                # warm re-solve against the true bounds.
+                in_cand = np.zeros(n_pad, bool)
+                in_cand[chosen] = True
+                leftover = interior & ~in_cand
+                lb_c, ub_c = lb, ub
+                if leftover.any():
+                    xfix = np.clip(
+                        xp,
+                        np.where(np.isfinite(lb), lb, -np.inf),
+                        np.where(np.isfinite(ub), ub, np.inf),
+                    )
+                    # a tiny BOX around x*, not an exact fix: the float
+                    # first-order values over-constrain A x = b beyond
+                    # eps_feas when pinned exactly (the restricted
+                    # phase-1 then declares INFEASIBLE at art ~1e-5)
+                    dlt = 1e-5 * (1.0 + np.abs(xfix))
+                    lb_c = np.where(
+                        leftover, np.maximum(lb, xfix - dlt), lb
+                    )
+                    ub_c = np.where(
+                        leftover, np.minimum(ub, xfix + dlt), ub
+                    )
+                    vstat0[leftover] = st.NB_LOWER
+                # artificial signs against the RESTRICTED bounds (the
+                # fixed-at-x* columns sit at xfix, not at lb)
+                at_lo0 = (vstat0 == st.NB_LOWER) | (vstat0 == st.NB_FIXED)
+                x0c = np.where(
+                    at_lo0, lb_c, np.where(vstat0 == st.NB_UPPER, ub_c, 0.0)
+                )
+                x0c = np.where(vstat0 == st.BASIC, 0.0, x0c)
+                r0c = b.copy()
+                r0c[:m] -= np.asarray(sp.csc_matrix(cf.A) @ x0c[: cf.n])
                 warm_cross = dict(
                     basis0=basis0,
                     vstat0=vstat0,
-                    art_sign0=_host_art_sign(vstat0),
+                    art_sign0=np.where(r0c >= 0, 1.0, -1.0),
                     phase0=np.int32(1),
                 )
+
+                def _unfix(out_r):
+                    """PUSH the fixed superbasics to bounds/basis
+                    (lu_host.primal_push — one FTRAN + ratio test each),
+                    then a warm re-solve with the TRUE bounds certifies
+                    optimality of the resulting vertex.  Returns the final
+                    SolveOutput, or ``out_r`` marked non-OPTIMAL when the
+                    push fails numerically (caller keeps the FO point)."""
+                    if not leftover.any():
+                        return out_r
+                    from relp_tpu.simplex.lu_host import primal_push
+                    from relp_tpu.utils.metrics import logger as _xlog
+
+                    push = primal_push(
+                        _a_pad_csc(), b,
+                        np.asarray(out_r.basis, np.int64),
+                        np.asarray(out_r.vstat, np.int32), lb, ub,
+                        leftover, np.asarray(out_r.x, np.float64),
+                        np.asarray(out_r.art_sign), n_pad,
+                        log=_xlog,
+                    )
+                    if push is None:
+                        from types import SimpleNamespace as _NS2
+
+                        return _NS2(
+                            status=np.int32(st.NUMERICAL),
+                            obj=np.float64(np.nan),
+                        )
+                    basis2, vstat2, _ = push
+                    warm3 = dict(
+                        basis0=basis2.astype(np.int32),
+                        vstat0=vstat2[:n_pad],
+                        art_sign0=np.asarray(out_r.art_sign),
+                        phase0=np.int32(1),
+                    )
+                    return _run_chunked(lb, ub, warm3, t, max_iter)
+
                 # the device primal polishes the guess at ANY m — above the
                 # in-loop ceiling _run_chunked transparently routes to the
                 # externally refactorized form (round-3 verdict item 4)
-                out_x = _run_chunked(lb, ub, warm_cross, t, max_iter)
+                out_x = _run_chunked(lb_c, ub_c, warm_cross, t, max_iter)
                 ok_x = int(out_x.status) == st.OPTIMAL and np.isfinite(
                     float(out_x.obj)
                 )
+                if ok_x:
+                    out_x = _unfix(out_x)
+                    ok_x = int(out_x.status) == st.OPTIMAL and np.isfinite(
+                        float(out_x.obj)
+                    )
                 if not ok_x:
                     # the device primal could not polish this guess (a
                     # singular/ill-conditioned crossover basis at
                     # DFL001 scale NaNs the refactorization) — the host
                     # LU dual repairs it via the triangular crash and
-                    # reoptimizes; a failed cleanup keeps the certified
-                    # first-order point rather than REPLACING it with
-                    # the failed polish
+                    # reoptimizes (same restricted-then-unfix scheme); a
+                    # failed cleanup keeps the certified first-order
+                    # point rather than REPLACING it with the failed
+                    # polish
                     out_lu = _run_dual_lu_host(
-                        t, lb.copy(), ub.copy(), warm_cross, repair=True,
+                        t, lb_c.copy(), ub_c.copy(), warm_cross, repair=True,
                         iter_cap=4 * m_pad,
                     )
-                    if out_lu is not None:
+                    if out_lu is not None and int(out_lu.status) == st.OPTIMAL:
+                        out_lu = _unfix(out_lu)
+                    if out_lu is not None and int(out_lu.status) == st.OPTIMAL:
                         out = out_lu
                 else:
                     out = out_x

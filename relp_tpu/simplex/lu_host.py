@@ -384,3 +384,121 @@ def reduced_costs(A_csc, c, basis, art_sign, n_pad):
     pi = lu.solve(cB, trans="T")
     d = c - A_csc.T.tocsr() @ pi
     return d, pi
+
+
+def primal_push(
+    A_csc, b, basis, vstat, lb, ub, push_cols, x_push, art_sign, n_pad,
+    eps_piv: float = 1e-9, refactor_every: int = 64, log=None,
+):
+    """Crossover primal PUSH phase: walk superbasic columns to a bound or
+    into the basis while keeping A x = b and basic-bound feasibility.
+
+    The restricted-crossover scheme (driver crossover block) fixes the
+    interior columns the triangular crash could not take basic at their
+    first-order values; at the restricted optimum those columns are
+    *superbasic* for the true problem — a vertex needs each one at a bound
+    or basic.  Classic crossover finishes them sequentially: per column,
+    one FTRAN + one ratio test, moving it toward its nearest bound (0 for
+    free columns — the nonbasic-free convention value) until either it
+    arrives (snap nonbasic) or a basic variable blocks (that basic leaves
+    at its bound, the pushed column enters).  Reduced costs are ≈0 on the
+    optimal face, so the walk leaves the objective unchanged to tolerance;
+    the caller's final warm re-solve certifies optimality exactly.
+
+    Returns ``(basis, vstat, pivots)`` or ``None`` on numerical failure.
+    """
+    m = A_csc.shape[0]
+    A_csc = A_csc.tocsc()
+    basis = np.asarray(basis, np.int64).copy()
+    vstat = np.asarray(vstat, np.int32).copy()
+    lb_tot = np.concatenate([lb, np.zeros(m)])
+    ub_tot = np.concatenate([ub, np.zeros(m)])
+
+    x_n = np.where(
+        (vstat[:n_pad] == st.NB_LOWER) | (vstat[:n_pad] == st.NB_FIXED), lb,
+        np.where(vstat[:n_pad] == st.NB_UPPER, ub, 0.0),
+    )
+    x_n[push_cols] = x_push[push_cols]
+    x_n[vstat[:n_pad] == st.BASIC] = 0.0
+
+    lu = _LuEta(_basis_matrix(A_csc, basis, art_sign, n_pad))
+    xB = lu.ftran(b - A_csc @ x_n)
+    pivots = 0
+    since = 0
+    for j in np.flatnonzero(push_cols):
+        if vstat[j] == st.BASIC:
+            continue
+        xj = float(x_push[j])
+        if np.isfinite(lb[j]) and np.isfinite(ub[j]):
+            tgt = lb[j] if (xj - lb[j] <= ub[j] - xj) else ub[j]
+        elif np.isfinite(lb[j]):
+            tgt = lb[j]
+        elif np.isfinite(ub[j]):
+            tgt = ub[j]
+        else:
+            tgt = 0.0  # nonbasic FREE sits at 0
+        while True:
+            delta = tgt - xj
+            if delta == 0.0:
+                break
+            sigma = 1.0 if delta > 0 else -1.0
+            a_j = np.asarray(A_csc[:, j].todense()).ravel()
+            u = lu.ftran(a_j)
+            if not np.all(np.isfinite(u)):
+                return None
+            su = sigma * u
+            lbB = lb_tot[basis]
+            ubB = ub_tot[basis]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ratio = np.where(
+                    su > eps_piv, (xB - lbB) / su,
+                    np.where(su < -eps_piv, (xB - ubB) / su, np.inf),
+                )
+            ratio = np.maximum(ratio, 0.0)
+            theta_block = float(ratio.min(initial=np.inf))
+            theta_own = abs(delta)
+            if theta_own <= theta_block + 1e-12:
+                xB = xB - theta_own * su
+                break  # arrived at tgt: snap below
+            # Harris-lite leaving choice: biggest |pivot| among near-ties
+            elig = ratio <= theta_block + 1e-9
+            r = int(np.argmax(np.where(elig, np.abs(su), -1.0)))
+            if abs(u[r]) <= eps_piv:
+                return None
+            xB = xB - theta_block * su
+            xj = xj + sigma * theta_block
+            kr = basis[r]
+            vstat[kr] = (
+                st.NB_FIXED if lb_tot[kr] == ub_tot[kr]
+                else (st.NB_LOWER if su[r] > 0 else st.NB_UPPER)
+            )
+            basis[r] = j
+            vstat[j] = st.BASIC
+            xB[r] = xj
+            lu.push(r, u)
+            pivots += 1
+            since += 1
+            if since >= refactor_every:
+                x_n = np.where(
+                    (vstat[:n_pad] == st.NB_LOWER) | (vstat[:n_pad] == st.NB_FIXED),
+                    lb, np.where(vstat[:n_pad] == st.NB_UPPER, ub, 0.0),
+                )
+                live = push_cols & (vstat[:n_pad] != st.BASIC)
+                x_n[live] = x_push[live]
+                x_n[j] = xj  # mid-walk value of the current column
+                x_n[vstat[:n_pad] == st.BASIC] = 0.0
+                lu = _LuEta(_basis_matrix(A_csc, basis, art_sign, n_pad))
+                xB = lu.ftran(b - A_csc @ x_n)
+                since = 0
+            break  # j entered the basis: its walk is over
+        if vstat[j] != st.BASIC:
+            vstat[j] = (
+                st.NB_LOWER if (np.isfinite(lb[j]) and tgt == lb[j])
+                else (st.NB_UPPER if np.isfinite(ub[j]) else st.NB_FREE)
+            )
+    if log:
+        log.info(
+            "crossover push: %d superbasics, %d pivots",
+            int(push_cols.sum()), pivots,
+        )
+    return basis, vstat, pivots
