@@ -272,23 +272,26 @@ def solve_computational_form(
     traces = []
     worst_viol = 0.0
 
-    def _run_chunked(lb_run, ub_run, warm, t, budget):
+    def _run_chunked(lb_run, ub_run, warm, t, budget, cfg=None):
         """Chunked warm-continued solve against one bound set; shares the
         single compiled program with every other call of this shape.
         Above ``config.refactor_external_m`` the refactorization cannot
         compile inside the loop on TPU — the same call transparently
-        routes to the externally refactorized form (``_run_primal_xl``)."""
+        routes to the externally refactorized form (``_run_primal_xl``).
+        ``cfg`` optionally overrides the solve config (the crossover's
+        restricted polish relaxes eps_feas)."""
         nonlocal total_done, worst_viol
-        if config.xl_engine == "primal" or (
-            m_pad > config.refactor_external_m
+        cfg = config if cfg is None else cfg
+        if cfg.xl_engine == "primal" or (
+            m_pad > cfg.refactor_external_m
             and jax.devices()[0].platform != "cpu"  # CPU has no HBM ceiling
         ):
-            return _run_primal_xl(t, lb_run, ub_run, warm, budget)
+            return _run_primal_xl(t, lb_run, ub_run, warm, budget, cfg=cfg)
         done_here = 0
         while True:
             this_chunk = min(chunk, budget - done_here)
             out = solve_core(
-                A, b, c, lb_run, ub_run, cfg=config, max_iter=this_chunk, **warm
+                A, b, c, lb_run, ub_run, cfg=cfg, max_iter=this_chunk, **warm
             )
             out = jax.block_until_ready(out)
             done_here += int(out.it)
@@ -326,7 +329,8 @@ def solve_computational_form(
             ))
         return _a_pad_cache[0]
 
-    def _run_dual_lu_host(t, lb_d, ub_d, warm, repair=False, iter_cap=None):
+    def _run_dual_lu_host(t, lb_d, ub_d, warm, repair=False, iter_cap=None,
+                          cfg=None):
         """Host sparse-LU dual simplex (simplex/lu_host.py — the
         reference's Markowitz-LU counterpart; see that module's docstring
         for why this tier is host-native).  ``repair=True`` first places
@@ -339,6 +343,7 @@ def solve_computational_form(
         from relp_tpu.utils.metrics import logger as _log
 
         nonlocal total_done
+        cfg = config if cfg is None else cfg
         A_pad = _a_pad_csc()
         basis0 = np.asarray(warm["basis0"], np.int64)
         vstat0 = np.asarray(warm["vstat0"], np.int32).copy()
@@ -349,7 +354,7 @@ def solve_computational_form(
                 np.full(n_pad + m_pad - len(vstat0), st.NB_LOWER, np.int32),
             ])
         vstat0[basis0] = st.BASIC
-        boxM = float(config.dual_box)
+        boxM = float(cfg.dual_box)
         box_lo = np.zeros(n_pad, bool)
         box_hi = np.zeros(n_pad, bool)
         if repair:
@@ -388,7 +393,7 @@ def solve_computational_form(
             vstat0 = np.concatenate([vs.astype(np.int32), vstat0[n_pad:]])
         out = solve_dual_lu(
             A_pad, b, c, lb_d, ub_d, basis0, vstat0, art_sign0,
-            config, max_iter if iter_cap is None else min(max_iter, iter_cap),
+            cfg, max_iter if iter_cap is None else min(max_iter, iter_cap),
             n_pad=n_pad,
         )
         if out is None:
@@ -582,7 +587,7 @@ def solve_computational_form(
             viol=np.float64(0.0),
         )
 
-    def _run_primal_xl(t, lb_run, ub_run, warm, budget):
+    def _run_primal_xl(t, lb_run, ub_run, warm, budget, cfg=None):
         """Externally refactorized primal (VERDICT r3 item 4: the
         ``_PRIMAL_INLOOP_MAX_M`` cap removed): ``primal_xl_iterate`` exits
         whenever a refactorization is pending and the host runs it as
@@ -607,7 +612,10 @@ def solve_computational_form(
         from relp_tpu.utils.metrics import logger as _log
 
         nonlocal total_done
-        cfg_xl = _dc.replace(config, inverse="dense", trace_iters=False)
+        cfg_xl = _dc.replace(
+            config if cfg is None else cfg,
+            inverse="dense", trace_iters=False,
+        )
         if "basis0" not in warm:  # slack-crash dict: express as cold warm
             vstat_cold = np.where(
                 lb_run == ub_run, st.NB_FIXED,
@@ -1646,18 +1654,21 @@ def solve_computational_form(
                         np.where(np.isfinite(lb), lb, -np.inf),
                         np.where(np.isfinite(ub), ub, np.inf),
                     )
-                    # a tiny BOX around x*, not an exact fix: the float
-                    # first-order values over-constrain A x = b beyond
-                    # eps_feas when pinned exactly (the restricted
-                    # phase-1 then declares INFEASIBLE at art ~1e-5)
+                    # a tiny one-sided BOX: nonbasic AT x* exactly (upper
+                    # bound = xfix, status NB_UPPER ⇒ zero initial shift —
+                    # a symmetric box started at xfix−δ summed ~1e-5·|x*|
+                    # shifts over ~1.6k leftover columns into art ≈ 8 and
+                    # 1.6k basic bound violations on PILOT87) with δ of
+                    # DOWNWARD slack so the restricted phase 1 can absorb
+                    # the first-order point's ~1e-5 equality residual (an
+                    # exact fix over-constrains A x = b beyond eps_feas
+                    # and phase 1 declares INFEASIBLE at art ~1e-5)
                     dlt = 1e-5 * (1.0 + np.abs(xfix))
                     lb_c = np.where(
                         leftover, np.maximum(lb, xfix - dlt), lb
                     )
-                    ub_c = np.where(
-                        leftover, np.minimum(ub, xfix + dlt), ub
-                    )
-                    vstat0[leftover] = st.NB_LOWER
+                    ub_c = np.where(leftover, xfix, ub)
+                    vstat0[leftover] = st.NB_UPPER
                 # artificial signs against the RESTRICTED bounds (the
                 # fixed-at-x* columns sit at xfix, not at lb)
                 at_lo0 = (vstat0 == st.NB_LOWER) | (vstat0 == st.NB_FIXED)
@@ -1673,6 +1684,17 @@ def solve_computational_form(
                     art_sign0=np.where(r0c >= 0, 1.0, -1.0),
                     phase0=np.int32(1),
                 )
+                from relp_tpu.utils.metrics import logger as _clog
+
+                if _clog.isEnabledFor(20):
+                    _clog.info(
+                        "crossover guess: interior=%d chosen=%d leftover=%d "
+                        "nb_l=%d nb_u=%d |r0|_1=%.3e |r0|_inf=%.3e",
+                        int(interior.sum()), len(chosen),
+                        int(leftover.sum()), int(nb_l.sum()),
+                        int(nb_u.sum()), float(np.abs(r0c).sum()),
+                        float(np.abs(r0c).max()),
+                    )
 
                 def _unfix(out_r):
                     """PUSH the fixed superbasics to bounds/basis
@@ -1710,10 +1732,28 @@ def solve_computational_form(
                     )
                     return _run_chunked(lb, ub, warm3, t, max_iter)
 
+                # the RESTRICTED polish runs with a relaxed feasibility
+                # tolerance: the first-order point's equality residual
+                # (~1e-5..1e-2 once nonbasics are snapped) is the
+                # restricted problem's artificial FLOOR — at the normal
+                # eps_feas phase 1 declares INFEASIBLE (SHARE1B: art
+                # floor 4e-2).  The residual artificial levels are tiny
+                # row violations the push + the final TRUE-bounds
+                # re-solve (normal tolerances, full column freedom)
+                # absorb exactly.
+                import dataclasses as _dcx
+
+                cfg_rlx = _dcx.replace(config, eps_feas=1e-3)
                 # the device primal polishes the guess at ANY m — above the
                 # in-loop ceiling _run_chunked transparently routes to the
-                # externally refactorized form (round-3 verdict item 4)
-                out_x = _run_chunked(lb_c, ub_c, warm_cross, t, max_iter)
+                # externally refactorized form (round-3 verdict item 4).
+                # Budget 4·m_pad pivots: a grinding degenerate polish is
+                # the LU fallback's job (300-600 it/s host vs ~85 on the
+                # chunk-dispatched device path)
+                out_x = _run_chunked(
+                    lb_c, ub_c, warm_cross, t, min(4 * m_pad, max_iter),
+                    cfg=cfg_rlx,
+                )
                 ok_x = int(out_x.status) == st.OPTIMAL and np.isfinite(
                     float(out_x.obj)
                 )
@@ -1733,7 +1773,7 @@ def solve_computational_form(
                     # polish
                     out_lu = _run_dual_lu_host(
                         t, lb_c.copy(), ub_c.copy(), warm_cross, repair=True,
-                        iter_cap=4 * m_pad,
+                        iter_cap=4 * m_pad, cfg=cfg_rlx,
                     )
                     if out_lu is not None and int(out_lu.status) == st.OPTIMAL:
                         out_lu = _unfix(out_lu)
