@@ -1636,150 +1636,89 @@ def solve_computational_form(
                     ),
                 ).astype(np.int32)
                 vstat0[chosen] = st.BASIC
-                # SUPERBASIC handling (the crossover "push" phase, done as
-                # two warm solves): interior columns the crash did NOT
-                # choose cannot sit nonbasic at a faraway bound — FIX them
-                # at their first-order values (dual feasible regardless of
-                # d-sign; the uncovered rows' artificials then start at
-                # ≈0 level because Σ contributions ≈ b), polish to a
-                # vertex of the restricted problem, then UNFIX with a
-                # warm re-solve against the true bounds.
+                # CLASSIC PUSH-FIRST CROSSOVER.  With the leftover
+                # superbasics PARKED at their first-order values, the
+                # crash basis is already basic-feasible to tolerance
+                # (xB = B⁻¹(b − N·x_N) ≈ x*_B, inside its bounds) — no
+                # restricted solve is needed (the earlier restricted-
+                # polish detour ground thousands of degenerate phase-1
+                # pivots against the snapped residual's artificial
+                # floor).  primal_push walks each leftover to a bound or
+                # into the basis (one FTRAN + ratio test each, host LU);
+                # the warm TRUE-bounds re-solve then certifies the vertex
+                # and absorbs the ~1e-5 residual the uncovered rows'
+                # artificial slots carry.
                 in_cand = np.zeros(n_pad, bool)
                 in_cand[chosen] = True
                 leftover = interior & ~in_cand
-                lb_c, ub_c = lb, ub
-                if leftover.any():
-                    xfix = np.clip(
-                        xp,
-                        np.where(np.isfinite(lb), lb, -np.inf),
-                        np.where(np.isfinite(ub), ub, np.inf),
-                    )
-                    # a tiny one-sided BOX: nonbasic AT x* exactly (upper
-                    # bound = xfix, status NB_UPPER ⇒ zero initial shift —
-                    # a symmetric box started at xfix−δ summed ~1e-5·|x*|
-                    # shifts over ~1.6k leftover columns into art ≈ 8 and
-                    # 1.6k basic bound violations on PILOT87) with δ of
-                    # DOWNWARD slack so the restricted phase 1 can absorb
-                    # the first-order point's ~1e-5 equality residual (an
-                    # exact fix over-constrains A x = b beyond eps_feas
-                    # and phase 1 declares INFEASIBLE at art ~1e-5)
-                    dlt = 1e-5 * (1.0 + np.abs(xfix))
-                    lb_c = np.where(
-                        leftover, np.maximum(lb, xfix - dlt), lb
-                    )
-                    ub_c = np.where(leftover, xfix, ub)
-                    vstat0[leftover] = st.NB_UPPER
-                # artificial signs against the RESTRICTED bounds (the
-                # fixed-at-x* columns sit at xfix, not at lb)
-                at_lo0 = (vstat0 == st.NB_LOWER) | (vstat0 == st.NB_FIXED)
-                x0c = np.where(
-                    at_lo0, lb_c, np.where(vstat0 == st.NB_UPPER, ub_c, 0.0)
+                xfix = np.clip(
+                    xp,
+                    np.where(np.isfinite(lb), lb, -np.inf),
+                    np.where(np.isfinite(ub), ub, np.inf),
                 )
+                vstat0[leftover] = st.NB_FREE  # push assigns the real one
+                vstat_full0 = np.concatenate(
+                    [vstat0, np.full(m_pad, st.NB_LOWER, np.int32)]
+                )
+                vstat_full0[basis0] = st.BASIC
+                x0c = np.where(
+                    (vstat0 == st.NB_LOWER) | (vstat0 == st.NB_FIXED), lb,
+                    np.where(vstat0 == st.NB_UPPER, ub, 0.0),
+                )
+                x0c[leftover] = xfix[leftover]
                 x0c = np.where(vstat0 == st.BASIC, 0.0, x0c)
                 r0c = b.copy()
                 r0c[:m] -= np.asarray(sp.csc_matrix(cf.A) @ x0c[: cf.n])
-                warm_cross = dict(
-                    basis0=basis0,
-                    vstat0=vstat0,
-                    art_sign0=np.where(r0c >= 0, 1.0, -1.0),
-                    phase0=np.int32(1),
-                )
+                art_sign0 = np.where(r0c >= 0, 1.0, -1.0)
+                from relp_tpu.simplex.lu_host import primal_push
                 from relp_tpu.utils.metrics import logger as _clog
 
                 if _clog.isEnabledFor(20):
                     _clog.info(
                         "crossover guess: interior=%d chosen=%d leftover=%d "
-                        "nb_l=%d nb_u=%d |r0|_1=%.3e |r0|_inf=%.3e",
+                        "nb_l=%d nb_u=%d",
                         int(interior.sum()), len(chosen),
                         int(leftover.sum()), int(nb_l.sum()),
-                        int(nb_u.sum()), float(np.abs(r0c).sum()),
-                        float(np.abs(r0c).max()),
+                        int(nb_u.sum()),
                     )
-
-                def _unfix(out_r):
-                    """PUSH the fixed superbasics to bounds/basis
-                    (lu_host.primal_push — one FTRAN + ratio test each),
-                    then a warm re-solve with the TRUE bounds certifies
-                    optimality of the resulting vertex.  Returns the final
-                    SolveOutput, or ``out_r`` marked non-OPTIMAL when the
-                    push fails numerically (caller keeps the FO point)."""
-                    if not leftover.any():
-                        return out_r
-                    from relp_tpu.simplex.lu_host import primal_push
-                    from relp_tpu.utils.metrics import logger as _xlog
-
-                    push = primal_push(
-                        _a_pad_csc(), b,
-                        np.asarray(out_r.basis, np.int64),
-                        np.asarray(out_r.vstat, np.int32), lb, ub,
-                        leftover, np.asarray(out_r.x, np.float64),
-                        np.asarray(out_r.art_sign), n_pad,
-                        log=_xlog,
-                    )
-                    if push is None:
-                        from types import SimpleNamespace as _NS2
-
-                        return _NS2(
-                            status=np.int32(st.NUMERICAL),
-                            obj=np.float64(np.nan),
-                        )
-                    basis2, vstat2, _ = push
+                push = primal_push(
+                    _a_pad_csc(), b, basis0.astype(np.int64), vstat_full0,
+                    lb, ub, leftover, xfix, art_sign0, n_pad, log=_clog,
+                )
+                out_x = None
+                warm3 = None
+                if push is not None:
+                    basis2, vstat2, _piv = push
                     warm3 = dict(
                         basis0=basis2.astype(np.int32),
                         vstat0=vstat2[:n_pad],
-                        art_sign0=np.asarray(out_r.art_sign),
+                        art_sign0=_host_art_sign(vstat2[:n_pad]),
                         phase0=np.int32(1),
                     )
-                    return _run_chunked(lb, ub, warm3, t, max_iter)
-
-                # the RESTRICTED polish runs with a relaxed feasibility
-                # tolerance: the first-order point's equality residual
-                # (~1e-5..1e-2 once nonbasics are snapped) is the
-                # restricted problem's artificial FLOOR — at the normal
-                # eps_feas phase 1 declares INFEASIBLE (SHARE1B: art
-                # floor 4e-2).  The residual artificial levels are tiny
-                # row violations the push + the final TRUE-bounds
-                # re-solve (normal tolerances, full column freedom)
-                # absorb exactly.
-                import dataclasses as _dcx
-
-                cfg_rlx = _dcx.replace(config, eps_feas=1e-3)
-                # the device primal polishes the guess at ANY m — above the
-                # in-loop ceiling _run_chunked transparently routes to the
-                # externally refactorized form (round-3 verdict item 4).
-                # Budget 4·m_pad pivots: a grinding degenerate polish is
-                # the LU fallback's job (300-600 it/s host vs ~85 on the
-                # chunk-dispatched device path)
-                out_x = _run_chunked(
-                    lb_c, ub_c, warm_cross, t, min(4 * m_pad, max_iter),
-                    cfg=cfg_rlx,
-                )
-                ok_x = int(out_x.status) == st.OPTIMAL and np.isfinite(
-                    float(out_x.obj)
-                )
-                if ok_x:
-                    out_x = _unfix(out_x)
-                    ok_x = int(out_x.status) == st.OPTIMAL and np.isfinite(
-                        float(out_x.obj)
+                    # the certification re-solve is warm (typically a few
+                    # pivots); budget it — a grind means the push landed
+                    # badly and the FO point is the better answer
+                    out_x = _run_chunked(
+                        lb, ub, warm3, t, min(8 * m_pad, max_iter)
                     )
-                if not ok_x:
-                    # the device primal could not polish this guess (a
-                    # singular/ill-conditioned crossover basis at
-                    # DFL001 scale NaNs the refactorization) — the host
-                    # LU dual repairs it via the triangular crash and
-                    # reoptimizes (same restricted-then-unfix scheme); a
-                    # failed cleanup keeps the certified first-order
-                    # point rather than REPLACING it with the failed
-                    # polish
+                ok_x = (
+                    out_x is not None
+                    and int(out_x.status) == st.OPTIMAL
+                    and np.isfinite(float(out_x.obj))
+                )
+                if not ok_x and warm3 is not None:
+                    # the device re-solve could not certify: the host LU
+                    # dual reoptimizes from the pushed basis (whose duals
+                    # are near-optimal, so the repair's sign-snapping is
+                    # trustworthy — unlike from the raw crash basis); a
+                    # failed cleanup keeps the certified first-order point
                     out_lu = _run_dual_lu_host(
-                        t, lb_c.copy(), ub_c.copy(), warm_cross, repair=True,
-                        iter_cap=4 * m_pad, cfg=cfg_rlx,
+                        t, lb.copy(), ub.copy(), warm3, repair=True,
+                        iter_cap=8 * m_pad,
                     )
-                    if out_lu is not None and int(out_lu.status) == st.OPTIMAL:
-                        out_lu = _unfix(out_lu)
                     if out_lu is not None and int(out_lu.status) == st.OPTIMAL:
                         out = out_lu
-                else:
+                elif ok_x:
                     out = out_x
         want_dual = config.algorithm == "dual" or (
             out is None and m_pad > config.refactor_external_m
