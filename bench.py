@@ -192,20 +192,67 @@ def run_fleet(args, base_dir) -> int:
 
     name = args.fleet_base
     n_scen = args.fleet_n
-    path = f"{base_dir}/{name}.SIF"
     rng = np.random.default_rng(20260819)
     zb = rng.standard_normal((n_scen, 30_000))
     zc = rng.standard_normal((n_scen, 30_000))
 
-    def scenarios():
-        gens = []
-        for s in range(n_scen):
-            gf = import_lp(path)
-            gf.b = gf.b * (1.0 + 0.03 * zb[s, : len(gf.b)])
-            for j, v in enumerate(gf.variables):
-                v.cost = v.cost * (1.0 + 0.03 * zc[s, j])
-            gens.append(gf)
-        return gens
+    if name.upper().startswith("DENSE"):
+        # Synthetic DENSE scenario fleet (the round-3 fleet analysis's own
+        # conclusion, accepted by the verdict: "the chip's fleet win needs
+        # genuinely dense or XL-sized bases").  A dense resource-allocation
+        # LP — min cᵀx s.t. A x = demand, 0 ≤ x ≤ 2 with a 100%-dense
+        # seeded technology matrix — perturbed per scenario in demand and
+        # cost.  Demands are built as A·x_s for a feasible x_s, so every
+        # scenario is feasible and bounded by construction; objectives are
+        # still verified against HiGHS solving each scenario from scratch.
+        # Usage: --fleet-base DENSE or DENSE-<m>x<n> (default 768x1536).
+        import scipy.sparse as sp
+
+        from relp_tpu.model.elements import (
+            Objective, RangedConstraintRelation,
+        )
+        from relp_tpu.model.general_form import GeneralForm, Variable
+
+        dims = name.split("-", 1)[1] if "-" in name else "768x1536"
+        m_d, n_d = (int(v) for v in dims.lower().split("x"))
+        grng = np.random.default_rng(0xDE55E)
+        A_d = grng.uniform(0.05, 1.0, (m_d, n_d))
+        A_csc = sp.csc_matrix(A_d)
+        x0_d = grng.uniform(0.2, 1.0, n_d)
+        c0_d = grng.uniform(0.1, 1.0, n_d)
+
+        def scenarios():
+            gens = []
+            for s in range(n_scen):
+                xs = x0_d * (1.0 + 0.03 * zb[s, :n_d])
+                cs = c0_d * (1.0 + 0.03 * zc[s, :n_d])
+                variables = [
+                    Variable(f"x{j}", cost=cs[j], lower=0.0, upper=2.0)
+                    for j in range(n_d)
+                ]
+                gens.append(GeneralForm(
+                    objective=Objective.MINIMIZE,
+                    A=A_csc,
+                    constraint_types=(
+                        [RangedConstraintRelation.equal()] * m_d
+                    ),
+                    b=A_d @ xs,
+                    variables=variables,
+                    name=f"dense{s}",
+                ))
+            return gens
+    else:
+        path = f"{base_dir}/{name}.SIF"
+
+        def scenarios():
+            gens = []
+            for s in range(n_scen):
+                gf = import_lp(path)
+                gf.b = gf.b * (1.0 + 0.03 * zb[s, : len(gf.b)])
+                for j, v in enumerate(gf.variables):
+                    v.cost = v.cost * (1.0 + 0.03 * zc[s, j])
+                gens.append(gf)
+            return gens
 
     # default engine: the first-order fleet (_solve_fleet_pdlp) — every
     # scenario shares A, so the vmapped SpMVs fuse into ONE MXU GEMM per
@@ -217,7 +264,9 @@ def run_fleet(args, base_dir) -> int:
     # singleton groups and losing the shared-A fast path AND the
     # base-solve warm start (both engines warm-start from one base solve).
     config = SolverConfig(
-        algorithm="pdlp" if args.fleet_engine == "pdlp" else "primal",
+        algorithm={"pdlp": "pdlp", "ipm": "ipm"}.get(
+            args.fleet_engine, "primal"
+        ),
         presolve=False,
     )
     # compile warmup on a small prefix fleet; the vmapped program's shape
@@ -307,9 +356,11 @@ def main(argv=None) -> int:
         help="fleet suite: number of perturbed scenarios",
     )
     ap.add_argument(
-        "--fleet-engine", choices=["pdlp", "simplex"], default="pdlp",
-        help="fleet suite solver: shared-A GEMM-fused PDHG (default) or "
-             "the vmapped two-phase simplex core",
+        "--fleet-engine", choices=["pdlp", "simplex", "ipm"], default="pdlp",
+        help="fleet suite solver: shared-A GEMM-fused PDHG (default), "
+             "the vmapped two-phase simplex core, or the vmapped "
+             "interior-point engine (batched normal-equation GEMMs + "
+             "Cholesky — the dense-fleet MXU play)",
     )
     ap.add_argument(
         "--inverse", choices=["dense", "eta"], default=None,

@@ -2103,6 +2103,16 @@ def _solve_fleet_pdlp(A, b, c, lb, ub, config: SolverConfig, max_iter: int):
         functools.partial(initial_state, eta0=eta0, dtype=f32),
         in_axes=(A_axis, 0, 0),
     ))
+    init_v64 = jax.jit(jax.vmap(
+        functools.partial(initial_state, eta0=eta0),
+        in_axes=(A_axis, 0, 0),
+    ))
+
+    @jax.jit
+    def _ax64(Aop, X):
+        if shared:
+            return X @ Aop.A.T
+        return jnp.einsum("smn,sn->sm", Aop.A, X)
 
     def _warm_point():
         """One HOST solve of scenario 0 seeds the whole fleet (the
@@ -2227,11 +2237,44 @@ def _solve_fleet_pdlp(A, b, c, lb, ub, config: SolverConfig, max_iter: int):
     YBar_d = jnp.zeros((N, m_pad))
     dp_d = jnp.ones(N)
     in_zoom = False
+    f32_stage = True
     refines_left = int(config.pdlp_refine)
     kkt_at_refine = np.inf
     best_it = 0
     ref_kmax = np.inf
     last_ok, last_ok_it = 0, 0
+
+    def _promote_to_f64(reason: str) -> bool:
+        """f64 endgame for the unaccepted lanes (the single-solve driver's
+        _promote_to_f64, fleet-wide): the f32 stage floors near 1e-5
+        relative on dense operators (f32 accumulation noise — the DENSE
+        fleet froze at 1.9e-5 against accept=1e-6 and every lane fell to
+        host cleanup); f64 rounds are only ~2.4× slower per iteration.
+        Restarts the fleet state at the best composite, base frame."""
+        nonlocal A32, B32, C32, LB32, UB32, states, f32_stage
+        nonlocal XBar_d, YBar_d, dp_d, in_zoom, best_it, ref_kmax
+        nonlocal refines_left
+        if not f32_stage:
+            return False
+        f32_stage = False
+        refines_left = 0  # zooms are an f32-noise tool
+        A32 = A64
+        B32, C32, LB32, UB32 = B64, C64, LB64, UB64
+        XBar_d = jnp.zeros((N, n_pad))
+        YBar_d = jnp.zeros((N, m_pad))
+        dp_d = jnp.ones(N)
+        in_zoom = False
+        it_carry = states.it
+        X0 = jnp.minimum(jnp.maximum(bX_d, LB64), UB64)
+        states = init_v64(A64, LB64, UB64)._replace(
+            it=it_carry,
+            x=X0, y=bY_d, ax=_ax64(A64, X0),
+            x_anchor=X0, y_anchor=bY_d, ax_anchor=_ax64(A64, X0),
+        )
+        best_it = int(np.max(np.asarray(it_carry)))
+        ref_kmax = np.inf
+        _log.info("pdlp fleet: f64 endgame (%s)", reason)
+        return True
 
     def _zoom(reason: str):
         nonlocal states, XBar_d, YBar_d, dp_d, refines_left, kkt_at_refine
@@ -2288,10 +2331,18 @@ def _solve_fleet_pdlp(A, b, c, lb, ub, config: SolverConfig, max_iter: int):
 
     while True:
         states = run(A32, B32, C32, LB32, UB32, states)
-        X_d, Y_d, k_d = _composite_kkt(
-            A32, BF32, CF32, LF32, UF32,
-            states.x, states.y, XBar_d, YBar_d, dp_d,
-        )
+        if f32_stage:
+            X_d, Y_d, k_d = _composite_kkt(
+                A32, BF32, CF32, LF32, UF32,
+                states.x, states.y, XBar_d, YBar_d, dp_d,
+            )
+        else:
+            # f64 endgame: the f32 composite evaluation's dense-row
+            # accumulation noise (~1e-6 relative) floors the measured KKT
+            # and freezes the best-snapshot tracking while the true state
+            # keeps improving — evaluate exactly (base frame, f64)
+            X_d, Y_d = states.x, states.y
+            k_d = _kkt64_final(A64, B64, C64, LB64, UB64, X_d, Y_d)
         bX_d, bY_d, bK_d = _track(bX_d, bY_d, bK_d, X_d, Y_d, k_d)
         best_kkt = np.asarray(bK_d)
         it_now = int(np.max(np.asarray(states.it)))
@@ -2321,20 +2372,27 @@ def _solve_fleet_pdlp(A, b, c, lb, ub, config: SolverConfig, max_iter: int):
         # f32's observed fleet floor sits just above 1e-5 (relative) —
         # zoom as soon as the base stage enters that territory rather
         # than grinding the plateau window at the floor
-        if not in_zoom and kmax <= max(30.0 * accept, f32_until):
+        if f32_stage and not in_zoom and kmax <= max(30.0 * accept, f32_until):
             if can_zoom:
                 _zoom(f"endgame territory (kkt={kmax:.1e})")
-            else:
+            elif not _promote_to_f64(f"f32 floor at kkt={kmax:.1e}"):
                 break  # f32 floor without zoom budget: accept what we have
             continue
         # short window for ZOOMING (the f32-stage heuristic of the
         # single-solve driver), long window for GIVING UP (early PDHG
         # oscillation must not abort the fleet)
-        if can_zoom and it_now - best_it >= max(
+        if it_now - best_it >= max(
             int(config.pdlp_plateau) // 4, best_it // 8
         ):
-            _zoom(f"plateau at kkt={kmax:.1e}")
-            continue
+            if can_zoom:
+                _zoom(f"plateau at kkt={kmax:.1e}")
+                continue
+            # zooms exhausted or useless (the post-zoom composite froze
+            # on the DENSE fleet): the f64 endgame takes over
+            if f32_stage and kmax > accept and _promote_to_f64(
+                f"f32 plateau at kkt={kmax:.1e}"
+            ):
+                continue
         n_ok = int((best_kkt <= accept).sum())
         if n_ok > last_ok:
             last_ok, last_ok_it = n_ok, it_now
@@ -2354,6 +2412,10 @@ def _solve_fleet_pdlp(A, b, c, lb, ub, config: SolverConfig, max_iter: int):
             # even when the max-KKT straggler is flat
             and stalled_ok >= int(config.pdlp_plateau)
         ):
+            if f32_stage and _promote_to_f64(
+                f"long plateau at kkt={kmax:.1e}"
+            ):
+                continue
             break  # floored: per-scenario acceptance decides below
 
     # exact acceptance: one f64 KKT pass over the best snapshots (the
@@ -2398,6 +2460,201 @@ def _solve_fleet_pdlp(A, b, c, lb, ub, config: SolverConfig, max_iter: int):
     return SimpleNamespace(
         status=np.where(ok, st.OPTIMAL, st.ITERATION_LIMIT).astype(np.int32),
         it=np.asarray(states.it, np.int32),
+        art_inf=art,
+        pi=pi_out,
+        x=x_out,
+    )
+
+
+def _solve_fleet_ipm(A, b, c, lb, ub, config: SolverConfig):
+    """Interior-point fleet engine (config.algorithm="ipm" through
+    :func:`solve_general_forms_batched`): the Mehrotra chunk (ipm_chunk)
+    vmapped over the scenario axis with the operator UNBATCHED.
+
+    This is the fleet workload the MXU natively owns: per iteration the
+    whole fleet does one batched (N,m,n)→(N,m,m) normal-equation GEMM
+    and one batched Cholesky — dense MXU work with O(√n) iterations per
+    scenario regardless of conditioning, where the first-order fleet's
+    PDHG tail stalls near 1e-6 relative KKT on dense operators.  Shared-A
+    fleets only (the scenario-analysis shape); per-lane b/c/bounds.
+
+    Returns the ``solve_batched``-shaped namespace; lanes the engine
+    cannot certify at ``config.ipm_accept`` fall back to host HiGHS,
+    charged to the fleet's clock like the PDLP fleet's stragglers.
+    """
+    import functools
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from relp_tpu.simplex.primal_dual import ipm_chunk, ls_start
+    from relp_tpu.utils.metrics import logger as _log
+
+    N = b.shape[0]
+    A0 = np.asarray(A[0], np.float64)
+    m_pad, n_pad = A0.shape
+    # Ruiz ∞-norm equilibration on the shared operator (the IPM driver's
+    # recipe: the f32 Cholesky's conditioning rides on it)
+    d_r = np.ones(m_pad)
+    d_c = np.ones(n_pad)
+    S = np.abs(A0)
+    for _ in range(10):
+        rmax = S.max(axis=1)
+        rs = 1.0 / np.sqrt(np.where(rmax > 0, rmax, 1.0))
+        S *= rs[:, None]
+        cmax = S.max(axis=0)
+        cs = 1.0 / np.sqrt(np.where(cmax > 0, cmax, 1.0))
+        S *= cs[None, :]
+        d_r *= rs
+        d_c *= cs
+    As = d_r[:, None] * A0 * d_c
+    B = b * d_r[None, :]
+    C = c * d_c[None, :]
+    with np.errstate(invalid="ignore"):
+        LB = np.where(np.isfinite(lb), lb / d_c[None, :], lb)
+        UB = np.where(np.isfinite(ub), ub / d_c[None, :], ub)
+
+    free_box = 1e5
+    fixed = LB == UB
+    free = ~np.isfinite(LB) & ~np.isfinite(UB) & ~fixed
+    LBw = np.where(free, -free_box, LB)
+    UBw = np.where(free, free_box, UB)
+    hl = (np.isfinite(LBw) & ~fixed).astype(np.float64)
+    hu = (np.isfinite(UBw) & ~fixed).astype(np.float64)
+    dmask = (~fixed).astype(np.float64)
+    lbf = np.where(hl > 0, LBw, 0.0)
+    ubf = np.where(hu > 0, UBw, 0.0)
+    xfix = np.where(fixed, LB, 0.0)
+    nb_cnt = (hl + hu).sum(axis=1)
+    if np.any(nb_cnt == 0):
+        return None
+
+    A64 = jax.device_put(jnp.asarray(As, jnp.float64))
+    on_cpu = jax.default_backend() == "cpu"
+    if on_cpu:
+        ladder = [(jnp.float64, A64, 1)]
+    else:
+        A32 = jax.device_put(jnp.asarray(As, jnp.float32))
+        ladder = [(jnp.float32, A32, 3), (jnp.float64, A64, 2)]
+    rung = 1 if (not on_cpu and m_pad > 4096) else 0
+
+    argv = tuple(
+        jax.device_put(jnp.asarray(v, jnp.float64))
+        for v in (B, C, lbf, ubf, hl, hu, dmask)
+    )
+    xfix_d = jax.device_put(jnp.asarray(xfix, jnp.float64))
+    nb_d = jnp.asarray(nb_cnt, jnp.float64)
+    tol = float(config.ipm_tol)
+    accept = float(config.ipm_accept)
+    gamma = jnp.float64(0.9995)
+
+    lane_axes = (None, None) + (0,) * 7  # A64, Afac shared; vectors per lane
+
+    def _vstart(fdt, Afac, n_ir):
+        f = functools.partial(ls_start, fdt=fdt, n_ir=n_ir)
+        return jax.vmap(f, in_axes=lane_axes + (0,))(
+            A64, Afac, *argv, xfix_d
+        )
+
+    def _vchunk(fdt, Afac, n_ir, state, delta, rho):
+        f = functools.partial(
+            ipm_chunk, fdt=fdt, n_ir=n_ir,
+            k_max=(1 if on_cpu else 8),
+        )
+        return jax.vmap(
+            f, in_axes=lane_axes + (0, 0, 0, 0, None, None)
+        )(
+            A64, Afac, *argv, state, delta, rho, nb_d, gamma,
+            jnp.float64(tol),
+        )
+
+    fdt, Afac, n_ir = ladder[rung]
+    state = _vstart(fdt, Afac, n_ir)
+    if not np.all(np.isfinite(np.asarray(state.x).sum(axis=1))):
+        if rung + 1 < len(ladder):
+            rung += 1
+            fdt, Afac, n_ir = ladder[rung]
+            state = _vstart(fdt, Afac, n_ir)
+
+    delta = jnp.full(N, 1e-8)
+    rho = jnp.full(N, 1e-10)
+    best_kkt = np.full(N, np.inf)
+    bX = np.zeros((N, n_pad))
+    bY = np.zeros((N, m_pad))
+    it = 0
+    stall = 0
+    max_iter = int(config.ipm_max_iter)
+    import time as _t
+
+    t0 = _t.perf_counter()
+    while it < max_iter:
+        out = _vchunk(fdt, Afac, n_ir, state, delta, rho)
+        state, delta, rho = out.state, out.delta, out.rho
+        it += int(np.max(np.asarray(out.committed)))
+        ck = np.asarray(out.best_kkt)
+        imp = ck < best_kkt
+        if np.any(imp):
+            bx = np.asarray(out.best_x)
+            by = np.asarray(out.best_y)
+            bX[imp] = bx[imp]
+            bY[imp] = by[imp]
+        progress = bool(np.any(ck < 0.9 * best_kkt))
+        best_kkt = np.minimum(best_kkt, ck)
+        n_ok = int((best_kkt <= accept).sum())
+        if _log.isEnabledFor(20):
+            _log.info(
+                "ipm fleet it=%d kkt max=%.3e med=%.3e accepted=%d/%d "
+                "wall=%.1fs", it, float(np.max(best_kkt)),
+                float(np.median(best_kkt)), n_ok, N,
+                _t.perf_counter() - t0,
+            )
+        if n_ok == N:
+            break
+        bad = int(np.asarray(out.bad).max())
+        committed = int(np.asarray(out.committed).min())
+        stall = 0 if progress else stall + 1
+        if (bad >= 3 or committed == 0 or stall >= 2) and rung + 1 < len(
+            ladder
+        ):
+            rung += 1
+            fdt, Afac, n_ir = ladder[rung]
+            stall = 0
+            _log.info("ipm fleet: precision ladder → %s", np.dtype(fdt).name)
+            continue
+        if stall >= 4:
+            break
+
+    # free-variable box check per lane (a binding temporary box is not a
+    # certificate for the original problem)
+    if free.any():
+        box_bind = (np.abs(bX) >= 0.5 * free_box) & free
+        best_kkt = np.where(box_bind.any(axis=1), np.inf, best_kkt)
+    ok = best_kkt <= accept
+    x_out = bX * d_c[None, :]
+    pi_out = bY * d_r[None, :]
+    if not bool(np.all(ok)):
+        from scipy.optimize import linprog
+
+        for s in np.where(~ok)[0]:
+            try:
+                res_s = linprog(
+                    c[s], A_eq=A0, b_eq=b[s],
+                    bounds=list(zip(lb[s], ub[s])), method="highs",
+                )
+            except Exception:
+                continue
+            if res_s.status == 0:
+                x_out[s] = res_s.x
+                if res_s.eqlin is not None:
+                    pi_out[s] = np.asarray(res_s.eqlin.marginals)
+                ok[s] = True
+        _log.info(
+            "ipm fleet: %d straggler(s) solved on host", int((~ok).sum()),
+        )
+    art = np.abs(x_out @ A0.T - b).max(axis=1)
+    return SimpleNamespace(
+        status=np.where(ok, st.OPTIMAL, st.ITERATION_LIMIT).astype(np.int32),
+        it=np.full(N, it, np.int32),
         art_inf=art,
         pi=pi_out,
         x=x_out,
@@ -2468,7 +2725,12 @@ def solve_general_forms_batched(
             )
         groups.setdefault(key, []).append(job)
 
+    from relp_tpu.utils.metrics import logger as _blog
+
     for (m_pad, n_pad), device_jobs in groups.items():
+        import time as _time
+
+        _t_grp = _time.perf_counter()
         batch = len(device_jobs)
         if batch == 1 and config.algorithm != "pdlp":
             # a singleton group gains nothing from vmap — give it the
@@ -2477,6 +2739,12 @@ def solve_general_forms_batched(
             idx, general, cf_1 = device_jobs[0]
             res_1 = solve_computational_form(cf_1, config)
             results[idx] = _finish_general(general, cf_1, res_1)
+            if _blog.isEnabledFor(20):
+                _blog.info(
+                    "batched group (%d,%d) singleton→single-driver "
+                    "it=%d wall=%.2fs", m_pad, n_pad, res_1.iterations,
+                    _time.perf_counter() - _t_grp,
+                )
             continue
         # scenario fleets share A (perturbed b/c only): stack A once —
         # a dense (batch, m, n) stack is ~11 GB at 256×SCTAP3 scale
@@ -2500,10 +2768,18 @@ def solve_general_forms_batched(
             c[s_i, : cf.n] = cf.c
             lb[s_i, : cf.n] = cf.lb
             ub[s_i, : cf.n] = cf.ub
-        if config.algorithm == "pdlp":
+        if config.algorithm == "ipm" and shared_A:
+            outs = _solve_fleet_ipm(A, b, c, lb, ub, config)
+            if outs is None:  # no finite-bound pair anywhere: trivial
+                outs = _solve_fleet_pdlp(
+                    A, b, c, lb, ub, config, 1_000_000
+                )
+        elif config.algorithm in ("pdlp", "ipm"):
             # first-order budget (the simplex resolve_max_iter heuristic is
             # pivot-count-sized; PDHG iterations are 1000× cheaper and
-            # proportionally more numerous)
+            # proportionally more numerous).  algorithm="ipm" without a
+            # shared A also lands here (the batched normal equations need
+            # the one-operator scenario shape).
             fo_budget = config.max_iter if config.max_iter > 0 else 1_000_000
             outs = _solve_fleet_pdlp(A, b, c, lb, ub, config, fo_budget)
         else:
@@ -2581,6 +2857,13 @@ def solve_general_forms_batched(
                 res.objective = cf.objective_of(x_scaled)
                 res.x_structural = cf.structural_values(x_scaled)
             results[idx] = _finish_general(general, cf, res)
+        if _blog.isEnabledFor(20):
+            _blog.info(
+                "batched group (%d,%d) batch=%d shared_A=%s max_it=%d "
+                "wall=%.2fs", m_pad, n_pad, batch, shared_A,
+                int(np.max(np.asarray(outs.it))),
+                _time.perf_counter() - _t_grp,
+            )
 
     return results  # type: ignore[return-value]
 

@@ -70,3 +70,58 @@ def test_fleet_pdlp_scenarios_match_highs():
         h = sigma * hr.fun + cf.fixed_cost
         got = r.solution.objective_value
         assert abs(got - h) <= 1e-6 * (1.0 + abs(h)), (got, h)
+
+
+def test_fleet_ipm_dense_scenarios_match_highs():
+    """Interior-point fleet (driver._solve_fleet_ipm): a dense shared-A
+    scenario fleet solved as vmapped Mehrotra chunks — batched
+    normal-equation GEMMs + Cholesky, the MXU-native fleet shape (the
+    PDHG fleet's tail stalls near 1e-6 relative KKT on dense operators).
+    Objectives must match HiGHS solving each scenario independently."""
+    import numpy as np
+    import scipy.sparse as sp
+    from scipy.optimize import linprog
+
+    from relp_tpu.model.elements import (
+        LinearProgramType, Objective, RangedConstraintRelation,
+    )
+    from relp_tpu.model.general_form import GeneralForm, Variable
+    from relp_tpu.utils.config import SolverConfig
+
+    m_d, n_d, n_scen = 96, 192, 3
+    grng = np.random.default_rng(0xD15E)
+    A_d = grng.uniform(0.05, 1.0, (m_d, n_d))
+    A_csc = sp.csc_matrix(A_d)
+    x0 = grng.uniform(0.2, 1.0, n_d)
+    c0 = grng.uniform(0.1, 1.0, n_d)
+    z = grng.standard_normal((2, n_scen, n_d))
+
+    def scenarios():
+        gens = []
+        for s in range(n_scen):
+            xs = x0 * (1 + 0.03 * z[0, s])
+            cs = c0 * (1 + 0.03 * z[1, s])
+            gens.append(GeneralForm(
+                objective=Objective.MINIMIZE,
+                A=A_csc,
+                constraint_types=[RangedConstraintRelation.equal()] * m_d,
+                b=A_d @ xs,
+                variables=[
+                    Variable(f"x{j}", cost=cs[j], lower=0.0, upper=2.0)
+                    for j in range(n_d)
+                ],
+            ))
+        return gens
+
+    cfg = SolverConfig(algorithm="ipm", presolve=False)
+    results = solve_general_forms_batched(scenarios(), cfg)
+    for s, (gf, r) in enumerate(zip(scenarios(), results)):
+        assert r.kind is LinearProgramType.FINITE_OPTIMUM, s
+        ref = linprog(
+            [v.cost for v in gf.variables], A_eq=A_d, b_eq=gf.b,
+            bounds=[(0.0, 2.0)] * n_d, method="highs",
+        )
+        assert ref.status == 0
+        assert r.solution.objective_value == pytest.approx(
+            ref.fun, rel=1e-6
+        ), s
