@@ -1657,6 +1657,27 @@ def solve_computational_form(
                     np.where(np.isfinite(ub), ub, np.inf),
                 )
                 vstat0[leftover] = st.NB_FREE  # push assigns the real one
+                # the push set must include EVERY nonbasic that is not
+                # exactly at its assigned bound — snapping the dual-
+                # informed columns (off their bound by up to ~2e-3 at a
+                # 4e-9-KKT point) displaced the start by B⁻¹-amplified
+                # ~0.5 and the push then COMPOUNDED it: each ratio test
+                # clamped at an already-violated bound ejects a basic to
+                # a value it does not have, injecting the violation into
+                # the point (PILOT87: bound_viol 0.5 → 3.4e4 over 1627
+                # pivots).  Parking everything at x* keeps the start
+                # feasible to the first-order residual (~1e-10); the
+                # extra walks are ≤2e-3 long and mostly snap pivot-free.
+                bound_of = np.where(
+                    (vstat0 == st.NB_LOWER), lb,
+                    np.where(vstat0 == st.NB_UPPER, ub, 0.0),
+                )
+                off_bound = (
+                    (vstat0 != st.BASIC)
+                    & ~fixed
+                    & (np.abs(xp - bound_of) > 1e-9 * (1.0 + np.abs(xp)))
+                )
+                push_set = leftover | off_bound
                 vstat_full0 = np.concatenate(
                     [vstat0, np.full(m_pad, st.NB_LOWER, np.int32)]
                 )
@@ -1665,7 +1686,7 @@ def solve_computational_form(
                     (vstat0 == st.NB_LOWER) | (vstat0 == st.NB_FIXED), lb,
                     np.where(vstat0 == st.NB_UPPER, ub, 0.0),
                 )
-                x0c[leftover] = xfix[leftover]
+                x0c[push_set] = xfix[push_set]
                 x0c = np.where(vstat0 == st.BASIC, 0.0, x0c)
                 r0c = b.copy()
                 r0c[:m] -= np.asarray(sp.csc_matrix(cf.A) @ x0c[: cf.n])
@@ -1683,18 +1704,132 @@ def solve_computational_form(
                     )
                 push = primal_push(
                     _a_pad_csc(), b, basis0.astype(np.int64), vstat_full0,
-                    lb, ub, leftover, xfix, art_sign0, n_pad, log=_clog,
+                    lb, ub, push_set, xfix, art_sign0, n_pad, d=d_rc,
+                    log=_clog,
                 )
                 out_x = None
                 warm3 = None
                 if push is not None:
                     basis2, vstat2, _piv = push
+                    # HEALTH GATE: on massively degenerate instances
+                    # (PILOT87: ~6k ratio-tied walks) the push can eject
+                    # slightly-violated basics to bounds they do not hold
+                    # and compound the error into an unusable basis —
+                    # detect it with one sparse LU + bound check (~ms)
+                    # and keep the certified first-order point instead of
+                    # burning minutes of doomed cleanup pivots.
+                    from scipy.sparse.linalg import splu as _splu2
+
+                    from relp_tpu.simplex.lu_host import (
+                        _basis_matrix as _bm2,
+                    )
+
+                    try:
+                        _vsh = vstat2[:n_pad]
+                        _xnh = np.where(
+                            (_vsh == st.NB_LOWER) | (_vsh == st.NB_FIXED),
+                            lb, np.where(_vsh == st.NB_UPPER, ub, 0.0),
+                        )
+                        _xnh = np.where(_vsh == st.BASIC, 0.0, _xnh)
+                        _rh = b.copy()
+                        _rh[:m] -= np.asarray(
+                            sp.csc_matrix(cf.A) @ _xnh[: cf.n]
+                        )
+                        _luh = _splu2(
+                            _bm2(
+                                _a_pad_csc(), basis2.astype(np.int64),
+                                _host_art_sign(_vsh), n_pad,
+                            ).tocsc(),
+                            permc_spec="COLAMD",
+                        )
+                        _xbh = _luh.solve(_rh)
+                        _lbt2 = np.concatenate([lb, np.zeros(m_pad)])
+                        _ubt2 = np.concatenate([ub, np.zeros(m_pad)])
+                        _violh = float(np.maximum(
+                            np.maximum(
+                                _lbt2[basis2] - _xbh, _xbh - _ubt2[basis2]
+                            ), 0.0,
+                        ).max())
+                    except RuntimeError:
+                        _violh = np.inf
+                    if not np.isfinite(_violh) or _violh > 1e-2:
+                        _clog.info(
+                            "crossover: pushed basis unhealthy "
+                            "(bound_viol=%.2e) — keeping the certified "
+                            "first-order point", _violh,
+                        )
+                        push = None
+                if push is not None:
                     warm3 = dict(
                         basis0=basis2.astype(np.int32),
                         vstat0=vstat2[:n_pad],
                         art_sign0=_host_art_sign(vstat2[:n_pad]),
                         phase0=np.int32(1),
                     )
+                    # dual-LU CLEANUP between push and certify: highly
+                    # degenerate walks (PILOT87: ~6k, mostly ratio ties at
+                    # already-violated bounds) eject basics to bounds they
+                    # do not exactly hold, compounding small bound
+                    # violations — restoring primal feasibility is exactly
+                    # the dual simplex's job, from the pushed statuses
+                    # (repair=False: the FO-informed statuses already
+                    # carry the right reduced-cost signs)
+                    out_cl = _run_dual_lu_host(
+                        t, lb.copy(), ub.copy(), warm3, repair=False,
+                        iter_cap=4 * m_pad,
+                    )
+                    if out_cl is not None and int(out_cl.status) == st.OPTIMAL:
+                        warm3 = dict(
+                            basis0=np.asarray(out_cl.basis, np.int32),
+                            vstat0=np.asarray(out_cl.vstat, np.int32)[:n_pad],
+                            art_sign0=np.asarray(out_cl.art_sign),
+                            phase0=np.int32(2),
+                        )
+                    if _clog.isEnabledFor(10):  # DEBUG: pushed-basis health
+                        from scipy.sparse.linalg import splu as _splu
+
+                        from relp_tpu.simplex.lu_host import (
+                            _basis_matrix as _bm,
+                        )
+
+                        _B2 = _bm(
+                            _a_pad_csc(), basis2.astype(np.int64),
+                            warm3["art_sign0"], n_pad,
+                        )
+                        try:
+                            _lu2 = _splu(_B2.tocsc(), permc_spec="COLAMD")
+                            _vs2 = vstat2[:n_pad]
+                            _xn2 = np.where(
+                                (_vs2 == st.NB_LOWER) | (_vs2 == st.NB_FIXED),
+                                lb,
+                                np.where(_vs2 == st.NB_UPPER, ub, 0.0),
+                            )
+                            _xn2 = np.where(_vs2 == st.BASIC, 0.0, _xn2)
+                            _r2 = b.copy()
+                            _r2[:m] -= np.asarray(
+                                sp.csc_matrix(cf.A) @ _xn2[: cf.n]
+                            )
+                            _xB2 = _lu2.solve(_r2)
+                            _lbt = np.concatenate([lb, np.zeros(m_pad)])
+                            _ubt = np.concatenate([ub, np.zeros(m_pad)])
+                            _v2 = np.maximum(
+                                _lbt[basis2] - _xB2, _xB2 - _ubt[basis2]
+                            ).max()
+                            _clog.debug(
+                                "pushed basis: bound_viol=%.3e max|xB|=%.3e "
+                                "obj=%.9e", float(_v2),
+                                float(np.abs(_xB2).max()),
+                                float(c @ _xn2 + c[
+                                    np.clip(basis2, 0, n_pad - 1)
+                                ] @ np.where(basis2 < n_pad, _xB2, 0.0)),
+                            )
+                        except RuntimeError as _e:
+                            _uq = len(np.unique(basis2))
+                            _clog.debug(
+                                "pushed basis SINGULAR: %s (unique slots "
+                                "%d/%d, basic-vstat %d)", _e, _uq, m_pad,
+                                int((vstat2 == st.BASIC).sum()),
+                            )
                     # the certification re-solve is warm (typically a few
                     # pivots); budget it — a grind means the push landed
                     # badly and the FO point is the better answer

@@ -388,7 +388,7 @@ def reduced_costs(A_csc, c, basis, art_sign, n_pad):
 
 def primal_push(
     A_csc, b, basis, vstat, lb, ub, push_cols, x_push, art_sign, n_pad,
-    eps_piv: float = 1e-9, refactor_every: int = 64, log=None,
+    d=None, eps_piv: float = 1e-9, refactor_every: int = 64, log=None,
 ):
     """Crossover primal PUSH phase: walk superbasic columns to a bound or
     into the basis while keeping A x = b and basic-bound feasibility.
@@ -425,11 +425,79 @@ def primal_push(
     xB = lu.ftran(b - A_csc @ x_n)
     pivots = 0
     since = 0
-    for j in np.flatnonzero(push_cols):
+    forced = 0
+    period_ = refactor_every
+    pending = np.asarray(push_cols, bool).copy()  # walks not yet finished
+
+    def _refresh(j_cur, xj_cur):
+        """Refactorize mid-push (drift control / tiny-pivot retries)."""
+        nonlocal lu, xB, since
+        xn = np.where(
+            (vstat[:n_pad] == st.NB_LOWER) | (vstat[:n_pad] == st.NB_FIXED),
+            lb, np.where(vstat[:n_pad] == st.NB_UPPER, ub, 0.0),
+        )
+        xn[pending] = x_push[pending]
+        xn[j_cur] = xj_cur
+        xn[vstat[:n_pad] == st.BASIC] = 0.0
+        lu = _LuEta(_basis_matrix(A_csc, basis, art_sign, n_pad))
+        xB_new = lu.ftran(b - A_csc @ xn)
+        drift = float(np.max(np.abs(xB_new - xB)))
+        # adaptive cycle: eta-solve drift beyond tolerance means the ratio
+        # tests ran on stale values — shorten the cycle (floor 8)
+        nonlocal period_
+        if drift > 1e-7 and period_ > 8:
+            period_ = max(8, period_ // 2)
+        elif drift < 1e-10 and period_ < refactor_every:
+            period_ = min(refactor_every, period_ * 2)
+        if log and log.isEnabledFor(10):
+            viol = float(np.maximum(
+                np.maximum(lb_tot[basis] - xB_new, xB_new - ub_tot[basis]),
+                0.0,
+            ).max())
+            if drift > 1e-6:
+                slot = int(np.argmax(np.abs(xB_new - xB)))
+                log.debug(
+                    "push refresh @%d pivots: drift=%.3e viol=%.3e slot=%d "
+                    "col=%d walked=%.6e exact=%.6e", pivots, drift, viol,
+                    slot, int(basis[slot]), float(xB[slot]),
+                    float(xB_new[slot]),
+                )
+            else:
+                log.debug(
+                    "push refresh @%d pivots: |xB drift|=%.3e bound_viol=%.3e "
+                    "period=%d", pivots, drift, viol, period_,
+                )
+        xB = xB_new
+        since = 0
+
+    # shortest walks first: the tiny dual-snap corrections (≤1e-3) finish
+    # while the basis is crisp; the long free-column walks — the ones that
+    # pivot and degrade conditioning — run last, bounding how much error
+    # the degenerate ejections can compound into later walks
+    idxs = np.flatnonzero(push_cols)
+    with np.errstate(invalid="ignore"):
+        dist = np.minimum(
+            np.abs(x_push[idxs] - np.where(np.isfinite(lb[idxs]), lb[idxs], 0.0)),
+            np.abs(np.where(np.isfinite(ub[idxs]), ub[idxs], 0.0) - x_push[idxs]),
+        )
+    for j in idxs[np.argsort(dist, kind="stable")]:
+        pending[j] = False  # j's walk happens NOW (mid-walk value below)
         if vstat[j] == st.BASIC:
             continue
         xj = float(x_push[j])
-        if np.isfinite(lb[j]) and np.isfinite(ub[j]):
+        # direction: the bound the DUAL wants first (d_j > 0 ⇒ lower,
+        # d_j < 0 ⇒ upper) — parking on the nearest bound regardless of
+        # d-sign builds a dual-inconsistent vertex whose certification
+        # re-solve grinds thousands of degenerate pivots (25FV47: 7181);
+        # |d_j| ≈ 0 falls back to the nearest bound (cheapest walk)
+        want = 0
+        if d is not None and abs(float(d[j])) > 1e-9:
+            want = 1 if float(d[j]) > 0 else -1
+        if want == 1 and np.isfinite(lb[j]):
+            tgt = lb[j]
+        elif want == -1 and np.isfinite(ub[j]):
+            tgt = ub[j]
+        elif np.isfinite(lb[j]) and np.isfinite(ub[j]):
             tgt = lb[j] if (xj - lb[j] <= ub[j] - xj) else ub[j]
         elif np.isfinite(lb[j]):
             tgt = lb[j]
@@ -437,6 +505,7 @@ def primal_push(
             tgt = ub[j]
         else:
             tgt = 0.0  # nonbasic FREE sits at 0
+        retried = False
         while True:
             delta = tgt - xj
             if delta == 0.0:
@@ -463,8 +532,21 @@ def primal_push(
             # Harris-lite leaving choice: biggest |pivot| among near-ties
             elig = ratio <= theta_block + 1e-9
             r = int(np.argmax(np.where(elig, np.abs(su), -1.0)))
-            if abs(u[r]) <= eps_piv:
-                return None
+            if abs(u[r]) <= 1e-6:
+                # suspicious pivot on a degenerate tie: eta drift can
+                # misjudge a TRUE zero as ~1e-9 and pivot into an exactly
+                # singular basis (PILOT87: 1627-pivot push → SuperLU
+                # "exactly singular").  Refactorize and retry once; a
+                # persistently tiny pivot force-snaps j at its target and
+                # leaves the (small, few-column) infeasibility to the
+                # certification re-solve's phase 1.
+                if not retried:
+                    _refresh(j, xj)
+                    retried = True
+                    continue
+                xB = xB - theta_own * su
+                forced += 1
+                break
             xB = xB - theta_block * su
             xj = xj + sigma * theta_block
             kr = basis[r]
@@ -478,27 +560,38 @@ def primal_push(
             lu.push(r, u)
             pivots += 1
             since += 1
-            if since >= refactor_every:
-                x_n = np.where(
-                    (vstat[:n_pad] == st.NB_LOWER) | (vstat[:n_pad] == st.NB_FIXED),
-                    lb, np.where(vstat[:n_pad] == st.NB_UPPER, ub, 0.0),
-                )
-                live = push_cols & (vstat[:n_pad] != st.BASIC)
-                x_n[live] = x_push[live]
-                x_n[j] = xj  # mid-walk value of the current column
-                x_n[vstat[:n_pad] == st.BASIC] = 0.0
-                lu = _LuEta(_basis_matrix(A_csc, basis, art_sign, n_pad))
-                xB = lu.ftran(b - A_csc @ x_n)
-                since = 0
+            # a relatively small accepted pivot makes its eta an error
+            # amplifier (÷u[r] per application — PILOT87's degenerate
+            # walks drifted 0.4 within 8 etas): refactorize immediately
+            if since >= period_ or abs(u[r]) < 1e-3 * float(
+                np.max(np.abs(u))
+            ):
+                _refresh(j, xj)
             break  # j entered the basis: its walk is over
         if vstat[j] != st.BASIC:
             vstat[j] = (
                 st.NB_LOWER if (np.isfinite(lb[j]) and tgt == lb[j])
                 else (st.NB_UPPER if np.isfinite(ub[j]) else st.NB_FREE)
             )
+        if log and log.isEnabledFor(5):  # paranoid per-walk exactness
+            xn_c = np.where(
+                (vstat[:n_pad] == st.NB_LOWER) | (vstat[:n_pad] == st.NB_FIXED),
+                lb, np.where(vstat[:n_pad] == st.NB_UPPER, ub, 0.0),
+            )
+            xn_c[pending] = x_push[pending]
+            xn_c[vstat[:n_pad] == st.BASIC] = 0.0
+            lu_c = _LuEta(_basis_matrix(A_csc, basis, art_sign, n_pad))
+            xB_c = lu_c.ftran(b - A_csc @ xn_c)
+            dd = float(np.max(np.abs(xB_c - xB)))
+            if dd > 1e-8:
+                log.log(
+                    5, "walk j=%d tgt=%.6e xj=%.6e vstat=%d pivoted=%s "
+                    "drift=%.3e", j, tgt, xj, int(vstat[j]),
+                    vstat[j] == st.BASIC, dd,
+                )
     if log:
         log.info(
-            "crossover push: %d superbasics, %d pivots",
-            int(push_cols.sum()), pivots,
+            "crossover push: %d superbasics, %d pivots, %d forced snaps",
+            int(push_cols.sum()), pivots, forced,
         )
     return basis, vstat, pivots
