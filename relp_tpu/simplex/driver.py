@@ -1785,51 +1785,6 @@ def solve_computational_form(
                             art_sign0=np.asarray(out_cl.art_sign),
                             phase0=np.int32(2),
                         )
-                    if _clog.isEnabledFor(10):  # DEBUG: pushed-basis health
-                        from scipy.sparse.linalg import splu as _splu
-
-                        from relp_tpu.simplex.lu_host import (
-                            _basis_matrix as _bm,
-                        )
-
-                        _B2 = _bm(
-                            _a_pad_csc(), basis2.astype(np.int64),
-                            warm3["art_sign0"], n_pad,
-                        )
-                        try:
-                            _lu2 = _splu(_B2.tocsc(), permc_spec="COLAMD")
-                            _vs2 = vstat2[:n_pad]
-                            _xn2 = np.where(
-                                (_vs2 == st.NB_LOWER) | (_vs2 == st.NB_FIXED),
-                                lb,
-                                np.where(_vs2 == st.NB_UPPER, ub, 0.0),
-                            )
-                            _xn2 = np.where(_vs2 == st.BASIC, 0.0, _xn2)
-                            _r2 = b.copy()
-                            _r2[:m] -= np.asarray(
-                                sp.csc_matrix(cf.A) @ _xn2[: cf.n]
-                            )
-                            _xB2 = _lu2.solve(_r2)
-                            _lbt = np.concatenate([lb, np.zeros(m_pad)])
-                            _ubt = np.concatenate([ub, np.zeros(m_pad)])
-                            _v2 = np.maximum(
-                                _lbt[basis2] - _xB2, _xB2 - _ubt[basis2]
-                            ).max()
-                            _clog.debug(
-                                "pushed basis: bound_viol=%.3e max|xB|=%.3e "
-                                "obj=%.9e", float(_v2),
-                                float(np.abs(_xB2).max()),
-                                float(c @ _xn2 + c[
-                                    np.clip(basis2, 0, n_pad - 1)
-                                ] @ np.where(basis2 < n_pad, _xB2, 0.0)),
-                            )
-                        except RuntimeError as _e:
-                            _uq = len(np.unique(basis2))
-                            _clog.debug(
-                                "pushed basis SINGULAR: %s (unique slots "
-                                "%d/%d, basic-vstat %d)", _e, _uq, m_pad,
-                                int((vstat2 == st.BASIC).sum()),
-                            )
                     # the certification re-solve is warm (typically a few
                     # pivots); budget it — a grind means the push landed
                     # badly and the FO point is the better answer
