@@ -98,6 +98,21 @@ def main(argv=None) -> int:
         "--pdlp-tol on ill-conditioned XL instances)",
     )
     ap.add_argument(
+        "--ipm-tol", type=float, default=1e-8, metavar="KKT",
+        help="with --algorithm ipm: target relative KKT "
+        "(max of primal/dual infeasibility and duality gap)",
+    )
+    ap.add_argument(
+        "--ipm-accept", type=float, default=1e-6, metavar="KKT",
+        help="with --algorithm ipm: accept a stalled point whose best "
+        "relative KKT is below this; otherwise fall back to simplex",
+    )
+    ap.add_argument(
+        "--ipm-max-iter", type=int, default=120, metavar="N",
+        help="with --algorithm ipm: Mehrotra iteration budget "
+        "(each is one normal-equation GEMM + Cholesky)",
+    )
+    ap.add_argument(
         "--perturb",
         type=float,
         default=0.0,
@@ -191,6 +206,9 @@ def main(argv=None) -> int:
         mip_branch=args.mip_branch,
         xl_engine=args.xl_engine,
         pdlp_accept=args.pdlp_accept,
+        ipm_tol=args.ipm_tol,
+        ipm_accept=args.ipm_accept,
+        ipm_max_iter=args.ipm_max_iter,
     )
 
     t0 = time.perf_counter()
