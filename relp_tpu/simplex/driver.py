@@ -2815,6 +2815,23 @@ def solve_general_forms_batched(
             )
         groups.setdefault(key, []).append(job)
 
+    # merge the SMALL groups into one: each device call through the remote
+    # TPU tunnel costs ~0.5 s of dispatch latency regardless of size, so a
+    # 19-instance suite split over 7 tiny shape buckets pays more in
+    # round-trips than in iterations (measured: (64,256)×7 = 1.64 s for
+    # 124 vmapped iterations).  Everything with m_pad ≤ 256 shares the
+    # largest such bucket; the padding waste is trivial at these sizes.
+    small_keys = [k for k in groups if k[0] <= 256 and len(groups) > 1]
+    if len(small_keys) > 1:
+        mk = (
+            max(k[0] for k in small_keys),
+            max(k[1] for k in small_keys),
+        )
+        merged = []
+        for k in small_keys:
+            merged.extend(groups.pop(k))
+        groups[mk] = merged + groups.pop(mk, [])
+
     from relp_tpu.utils.metrics import logger as _blog
 
     for (m_pad, n_pad), device_jobs in groups.items():
