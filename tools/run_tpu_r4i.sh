@@ -3,6 +3,8 @@ set -x
 cd /root/repo
 export RELP_TPU_LOG=INFO
 P=/root/reference/tests/netlib/problem_files
+echo "=== bench full (merged small groups) ==="
+timeout 9000 python bench.py --suite full --verbose
 echo "=== bench xl (regression check vs XL_r03) ==="
 timeout 7200 python bench.py --suite xl --verbose
 echo "=== DFL001 ipm --verify (clean 1e-10-feasible point) ==="
