@@ -248,7 +248,12 @@ def certify_optimal_basis(cf, result, size_limit: int = 1200) -> OptimalityCerti
     presolved, power-of-two-scaled computational form, whose float data
     is an exact rational model.  Solve with presolve disabled to certify
     the parsed model itself.  Raises ValueError when the result carries
-    no basis or m exceeds ``size_limit`` (exact O(m^3) elimination).
+    no basis or m exceeds ``size_limit`` (exact O(m^3) ``Fraction``
+    elimination with coefficient growth — the same wall that makes the
+    reference mark everything beyond ~SHARE1B scale "too computationally
+    intensive" for its all-rational solves, tests/netlib/test.rs:129-166;
+    this framework solves those instances in float and certifies exactly
+    where exact arithmetic is tractable).
     """
     import numpy as np
 
