@@ -1779,6 +1779,9 @@ def solve_computational_form(
                         iter_cap=4 * m_pad,
                     )
                     if out_cl is not None and int(out_cl.status) == st.OPTIMAL:
+                        # primal feasibility restored (a dual-infeasible
+                        # warm start means this is NOT yet optimal — the
+                        # re-solve below certifies); continue from its basis
                         warm3 = dict(
                             basis0=np.asarray(out_cl.basis, np.int32),
                             vstat0=np.asarray(out_cl.vstat, np.int32)[:n_pad],
@@ -1787,10 +1790,29 @@ def solve_computational_form(
                         )
                     # the certification re-solve is warm (typically a few
                     # pivots); budget it — a grind means the push landed
-                    # badly and the FO point is the better answer
-                    out_x = _run_chunked(
-                        lb, ub, warm3, t, min(8 * m_pad, max_iter)
-                    )
+                    # badly and the FO point is the better answer.  At XL
+                    # scale the device path can exhaust HBM next to the
+                    # still-resident first-order operator (STOCFOR3: a
+                    # 2.4 GB dense inverse + Newton temporaries,
+                    # runs/tpu_r4h.log) — fall back to the host LU dual
+                    # with its d-sign repair, whose duals at this near-
+                    # optimal basis are trustworthy.
+                    try:
+                        out_x = _run_chunked(
+                            lb, ub, warm3, t, min(8 * m_pad, max_iter)
+                        )
+                    except Exception as _oom:  # jaxlib RESOURCE_EXHAUSTED
+                        from relp_tpu.utils.metrics import logger as _xl2
+
+                        _xl2.warning(
+                            "crossover certify re-solve failed on device "
+                            "(%s) — host LU repair fallback",
+                            str(_oom)[:120],
+                        )
+                        out_x = _run_dual_lu_host(
+                            t, lb.copy(), ub.copy(), warm3, repair=True,
+                            iter_cap=8 * m_pad,
+                        )
                 ok_x = (
                     out_x is not None
                     and int(out_x.status) == st.OPTIMAL
