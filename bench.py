@@ -499,11 +499,18 @@ def main(argv=None) -> int:
             )
             batched = probe.returncode == 0 and "batch-ok" in probe.stdout
         except subprocess.TimeoutExpired:
+            probe = None
             batched = False
         print(
             f"# batched-suite probe: {'ok' if batched else 'failed — sequential fallback'}",
             file=sys.stderr,
         )
+        if not batched:
+            tail = (
+                probe.stderr[-500:] if probe is not None
+                else "probe timed out (1200 s)"
+            )
+            print(f"# batched-suite probe detail: {tail}", file=sys.stderr)
 
     if batched:
         from relp_tpu.simplex.driver import solve_general_forms_batched
