@@ -495,7 +495,7 @@ def main(argv=None) -> int:
                  "rs = solve_general_forms_batched(gens, SolverConfig())\n"
                  "assert all(r.solution is not None for r in rs)\n"
                  "print('batch-ok')"],
-                capture_output=True, timeout=1200, text=True,
+                capture_output=True, timeout=2400, text=True,
             )
             batched = probe.returncode == 0 and "batch-ok" in probe.stdout
         except subprocess.TimeoutExpired:
