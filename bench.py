@@ -374,6 +374,13 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--quick", action="store_true", help="3 instances only")
     ap.add_argument(
+        "--force-batched", action="store_true",
+        help="small/full suites: skip the batched-suite compile probe and "
+             "use grouped vmapped batches unconditionally (the probe "
+             "guards against a flaky remote compile helper; force when a "
+             "previous session already proved the program compiles)",
+    )
+    ap.add_argument(
         "--sequential", action="store_true",
         help="small/full suites: solve instances one by one (the pre-r4 "
              "headline mode) instead of grouped vmapped batches",
@@ -481,7 +488,11 @@ def main(argv=None) -> int:
         and not args.quick
         and algorithm == "primal"
     )
-    if batched and os.environ.get("RELP_TPU_PLATFORM") != "cpu":
+    if (
+        batched
+        and os.environ.get("RELP_TPU_PLATFORM") != "cpu"
+        and not args.force_batched
+    ):
         try:
             probe = subprocess.run(
                 [sys.executable, "-c",
