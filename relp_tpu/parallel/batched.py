@@ -30,7 +30,12 @@ def _solve_batch(A, b, c, lb, ub, cfg: SolverConfig, max_iter: int):
     # materialized (batch, m, n) stack of a shared 80BAU3B-scale A would
     # be tens of GB
     a_ax = None if A.ndim == 2 else 0
-    solver = functools.partial(solve_core, cfg=cfg, max_iter=max_iter)
+    # nested=True: hoists the refactorization out of the iteration body —
+    # under vmap an in-loop refactor cond lowers to a select whose O(m³)
+    # branch would execute on EVERY iteration (see solve_core)
+    solver = functools.partial(
+        solve_core, cfg=cfg, max_iter=max_iter, nested=True
+    )
     return jax.vmap(solver, in_axes=(a_ax, 0, 0, 0, 0))(A, b, c, lb, ub)
 
 
@@ -43,6 +48,7 @@ def _solve_batch_warm(A, b, c, lb, ub, basis0, vstat0, art_sign0, phase0,
         return solve_core(
             A, b, c, lb, ub, cfg=cfg, max_iter=max_iter,
             basis0=basis0, vstat0=vstat0, art_sign0=art_sign0, phase0=phase0,
+            nested=True,
         )
     return jax.vmap(solver, in_axes=(a_ax,) + (0,) * 8)(
         A, b, c, lb, ub, basis0, vstat0, art_sign0, phase0

@@ -751,10 +751,10 @@ def _make_primal_kernel(A, b, c, lb, ub, cfg: SolverConfig, max_iter,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "nested"))
 def solve_core(
     A, b, c, lb, ub, cfg: SolverConfig, max_iter: int, basis0=None, vstat0=None,
-    slack_of_row=None, art_sign0=None, phase0=None,
+    slack_of_row=None, art_sign0=None, phase0=None, nested: bool = False,
 ) -> SolveOutput:
     """Solve  min c@x  s.t.  A@x == b, lb <= x <= ub  (all float64, padded).
 
@@ -778,7 +778,15 @@ def solve_core(
     if need_a32:
         A = A.with_f32()
 
-    K = _make_primal_kernel(A, b, c, lb, ub, cfg, max_iter)
+    # ``nested=True`` restructures the solve for vmap: a ``lax.cond`` with a
+    # batched predicate lowers to a select that executes BOTH branches, so
+    # the in-loop refactorization cond makes every vmapped iteration pay the
+    # full O(m³) rebuild (measured 52 ms/iter on a (17,216,384) fleet vs
+    # ~1 ms for the straight-line body).  The nested form hoists it: an
+    # outer loop refactorizes unconditionally (one batched MXU inversion per
+    # refactor period), the inner loop runs the external-form body, which
+    # exits whenever a refactorization is pending.
+    K = _make_primal_kernel(A, b, c, lb, ub, cfg, max_iter, external=nested)
     lb_tot, ub_tot_p2 = K.lb_tot, K.ub_tot_p2
     trace_cap = K.trace_cap
     eta0, obs0 = K.eta0, K.obs0
@@ -891,7 +899,22 @@ def solve_core(
             **obs0,
         )
 
-    final = lax.while_loop(cond, body, state0)
+    if nested:
+        def outer_cond(s: State):
+            return (s.status == st.RUNNING) & (s.it < max_iter)
+
+        def outer_body(s: State):
+            # unconditional refactor (fresh inverse, derived xB/π), then
+            # iterate until terminal, pending refactor, or out of budget.
+            # ``it`` advances ≥1 per cycle (since_refactor=0 re-enters the
+            # inner cond), so the outer loop terminates within max_iter
+            # cycles; broken-after-fresh-refactor states go NUMERICAL in
+            # the body's watchdog exactly as in the in-loop form.
+            return lax.while_loop(cond, body, refactor(s))
+
+        final = lax.while_loop(outer_cond, outer_body, state0)
+    else:
+        final = lax.while_loop(cond, body, state0)
     final = final._replace(
         status=jnp.where(
             final.status == st.RUNNING, st.ITERATION_LIMIT, final.status

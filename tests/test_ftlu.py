@@ -1,0 +1,121 @@
+"""Differential tests for the native Forrest–Tomlin LU engine.
+
+Mirrors the reference's LU test strategy (worked examples + exactness
+assertions, lower_upper/mod.rs:770-868) with float tolerances: solves are
+checked against scipy's SuperLU, and long random update sequences are
+checked against FRESH factorizations of the explicitly-updated matrix —
+the property the FT update must preserve where product-form etas drift.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+from scipy.sparse.linalg import splu
+
+from relp_tpu.simplex import ftlu
+
+pytestmark = pytest.mark.skipif(
+    not ftlu.available(), reason="native ftlu build unavailable"
+)
+
+
+def _random_sparse(m, density, rng, diag_boost=2.0):
+    A = sp.random(m, m, density=density, random_state=rng, format="csc")
+    A = A + diag_boost * sp.eye(m, format="csc")  # comfortably nonsingular
+    return A.tocsc()
+
+
+def test_solves_match_superlu():
+    rng = np.random.default_rng(7)
+    for m, density in [(5, 0.8), (40, 0.2), (300, 0.02)]:
+        A = _random_sparse(m, density, rng)
+        F = ftlu.FtLU(A)
+        ref = splu(A)
+        for _ in range(3):
+            v = rng.standard_normal(m)
+            np.testing.assert_allclose(
+                F.ftran(v), ref.solve(v), rtol=1e-10, atol=1e-10
+            )
+            np.testing.assert_allclose(
+                F.btran(v), ref.solve(v, trans="T"), rtol=1e-10, atol=1e-10
+            )
+
+
+def test_singular_raises():
+    A = sp.csc_matrix(np.array([[1.0, 2.0], [2.0, 4.0]]))
+    with pytest.raises(RuntimeError):
+        ftlu.FtLU(A)
+
+    # structurally empty column
+    B = sp.csc_matrix(np.array([[1.0, 0.0], [3.0, 0.0]]))
+    with pytest.raises(RuntimeError):
+        ftlu.FtLU(B)
+
+
+def test_update_matches_fresh_factorization():
+    rng = np.random.default_rng(3)
+    m = 60
+    A = _random_sparse(m, 0.1, rng).toarray()
+    F = ftlu.FtLU(sp.csc_matrix(A))
+    for k in range(30):
+        slot = int(rng.integers(m))
+        col = np.zeros(m)
+        nz = rng.choice(m, size=5, replace=False)
+        col[nz] = rng.standard_normal(5)
+        col[slot] += 3.0  # keep the updated matrix well-conditioned
+        A[:, slot] = col
+        rows = np.flatnonzero(col).astype(np.int32)
+        rc = F.update(slot, rows, col[rows])
+        assert rc in (0, 1)
+        v = rng.standard_normal(m)
+        x = F.ftran(v)
+        np.testing.assert_allclose(A @ x, v, rtol=1e-8, atol=1e-8)
+        y = F.btran(v)
+        np.testing.assert_allclose(A.T @ y, v, rtol=1e-8, atol=1e-8)
+    assert F.nupdates == 30
+
+
+def test_long_degenerate_update_sequence_stays_accurate():
+    """The crossover regime: hundreds of updates, many nearly-parallel
+    columns.  The FT engine must stay usable where product-form etas
+    compound error (VERDICT r4 missing #3)."""
+    rng = np.random.default_rng(11)
+    m = 120
+    A = _random_sparse(m, 0.06, rng).toarray()
+    F = ftlu.FtLU(sp.csc_matrix(A))
+    worst = 0.0
+    refactors = 0
+    for k in range(400):
+        slot = int(rng.integers(m))
+        base = A[:, int(rng.integers(m))]
+        col = base + 1e-4 * rng.standard_normal(m)  # nearly parallel
+        col[slot] += 2.0
+        A[:, slot] = col
+        rows = np.arange(m, dtype=np.int32)
+        rc = F.update(slot, rows, col)
+        if rc != 0 or F.nupdates >= 64:
+            F = ftlu.FtLU(sp.csc_matrix(A))
+            refactors += 1
+        v = rng.standard_normal(m)
+        x = F.ftran(v)
+        worst = max(worst, float(np.max(np.abs(A @ x - v))))
+    assert worst < 1e-6, f"FT drift {worst:.3e} over 400 updates"
+    assert refactors < 40
+
+
+def test_update_of_identity_slot():
+    """Replace an artificial (identity) column — the crossover's common
+    first move."""
+    m = 10
+    A = np.eye(m)
+    F = ftlu.FtLU(sp.csc_matrix(A))
+    col = np.zeros(m)
+    col[3] = 2.0
+    col[7] = -1.0
+    A[:, 3] = col
+    F.update(3, np.array([3, 7], np.int32), np.array([2.0, -1.0]))
+    v = np.arange(1.0, m + 1)
+    np.testing.assert_allclose(A @ F.ftran(v), v, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(A.T @ F.btran(v), v, rtol=1e-12, atol=1e-12)
