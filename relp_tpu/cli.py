@@ -383,15 +383,27 @@ def main(argv=None) -> int:
                 and getattr(res, "simplex", None) is not None
                 and res.simplex.basis is not None
             ):
-                from relp_tpu.numerics.exact import certify_optimal_basis
+                from relp_tpu.numerics.exact import polish_to_certified
 
                 try:
-                    cert = certify_optimal_basis(res.cf, res.simplex)
+                    # certify; when the float basis is out of exact
+                    # optimality by rounding-level amounts, finish it with
+                    # exact pivots over Q (the reference's by-construction
+                    # guarantee, recovered a posteriori)
+                    cert, piv = polish_to_certified(res.cf, res.simplex)
+                    extra = f"  exact_pivots {piv}" if piv else ""
+                    if cert.redundant_rows:
+                        extra += (
+                            f"  redundant_rows {cert.redundant_rows}"
+                            f" (max residual "
+                            f"{float(cert.max_redundant_residual):.3g})"
+                        )
                     print(
                         "exact optimality certificate: "
                         f"{'OPTIMAL' if cert.ok() else 'NOT CERTIFIED'}  "
                         f"primal_viol {float(cert.max_primal_violation):.3g}  "
-                        f"dual_viol {float(cert.max_dual_violation):.3g}",
+                        f"dual_viol {float(cert.max_dual_violation):.3g}"
+                        f"{extra}",
                         file=sys.stderr,
                     )
                     if not cert.ok():

@@ -190,6 +190,15 @@ class OptimalityCertificate:
     max_dual_violation: Fraction     # worst exact reduced-cost sign violation
     objective: Fraction              # exact objective, original sense,
     # including presolve fixed cost
+    # Rows whose artificial stayed basic at an exactly-tiny level: the float
+    # model of a numerically redundant row (the reference, on exact rational
+    # data, proves such rows dependent in phase 1 and REMOVES them —
+    # phase_one.rs:223-260, RemoveRows; the f64 rounding of the data breaks
+    # exact dependency at the ~1e-16 level, so no basis can zero them).
+    # The certificate then asserts exact optimality of the problem with
+    # those rows dropped, and reports their exact residuals here.
+    redundant_rows: int = 0
+    max_redundant_residual: Fraction = Fraction(0)
 
     def ok(self) -> bool:
         return (
@@ -240,7 +249,31 @@ def _frac_mag2(fr: Fraction):
     return n.bit_length() - fr.denominator.bit_length()
 
 
-def _refine_solve_sparse(lu, B_cols, rhs, trans: bool, max_steps: int = 64):
+def _dyadic(fr: Fraction) -> Tuple[int, int]:
+    """(num, e) with fr = num / 2**e.  All certificate inputs are exact
+    models of f64 data, so denominators are powers of two by construction."""
+    d = fr.denominator
+    e = d.bit_length() - 1
+    if d != (1 << e):
+        raise ValueError("non-dyadic rational in float-derived data")
+    return fr.numerator, e
+
+
+def _ldexp_int(n: int, e: int) -> float:
+    """float(n * 2**e) without overflow on huge ``n`` (top-53-bit round)."""
+    import math
+
+    if n == 0:
+        return 0.0
+    bl = n.bit_length()
+    if bl > 60:
+        sh = bl - 60
+        n >>= sh  # floor on negatives: ≤1 ulp bias, absorbed by refinement
+        e += sh
+    return math.ldexp(n, e)
+
+
+def _refine_solve_sparse(lu, B_cols, rhs, trans: bool, max_steps: int = 768):
     """Solve ``B x = rhs`` (or ``Bᵀ x = rhs``) EXACTLY over ℚ.
 
     The scalable replacement for dense ``Fraction`` elimination (VERDICT r4
@@ -265,42 +298,122 @@ def _refine_solve_sparse(lu, B_cols, rhs, trans: bool, max_steps: int = 64):
 
     FR = Fraction
     m = len(rhs)
-    x: List[Fraction] = [FR(0)] * m
-    r: List[Fraction] = list(rhs)
+
+    # Integer core: every input is dyadic, so the exact iterate, residual
+    # and matrix live as integers over power-of-two denominators — no
+    # per-operation gcd (profiled 10×+ over generic Fraction arithmetic).
+    #   B entries:  Bint[j] = [(i, num << (E - e)), ...] over den 2^E
+    #   rhs:        R0 over den 2^TR
+    #   iterate x:  X over den 2^T
+    E = 0
+    for col in B_cols:
+        for _, a in col:
+            E = max(E, _dyadic(a)[1])
+    Bint = [
+        [(i, _dyadic(a)[0] << (E - _dyadic(a)[1])) for i, a in col]
+        for col in B_cols
+    ]
+    TR = 0
+    rhs_d = [_dyadic(v) for v in rhs]
+    for _, e in rhs_d:
+        TR = max(TR, e)
+    R0 = [num << (TR - e) for num, e in rhs_d]
+
+    X = [0] * m
+    T = 0
     prev_bits = None
     stall = 0
+    last_attempt = 0
 
-    def residual_of(xv):
+    def int_residual(Xv, Tv):
+        """Residual numerators over den 2^C; returns (nums, C)."""
+        S = [0] * m
+        if trans:
+            for j, col in enumerate(Bint):
+                s = 0
+                for i, a in col:
+                    if Xv[i]:
+                        s += a * Xv[i]
+                S[j] = s
+        else:
+            for j, col in enumerate(Bint):
+                xj = Xv[j]
+                if xj:
+                    for i, a in col:
+                        S[i] += a * xj
+        C = max(TR, E + Tv)
+        sh_r = C - TR
+        sh_s = C - E - Tv
+        return [(R0[i] << sh_r) - (S[i] << sh_s) for i in range(m)], C
+
+    def frac_residual_zero(x_rec):
+        """Exact zero-residual check for a reconstructed (small) solution."""
         out = list(rhs)
         if trans:
-            # (Bᵀ xv)[j] = col_j · xv
             for j, col in enumerate(B_cols):
                 s = FR(0)
                 for i, a in col:
-                    if xv[i]:
-                        s += a * xv[i]
-                if s:
-                    out[j] -= s
-        else:
-            for j, col in enumerate(B_cols):
-                xj = xv[j]
-                if xj:
-                    for i, a in col:
-                        out[i] -= a * xj
-        return out
+                    if x_rec[i]:
+                        s += a * x_rec[i]
+                if out[j] != s:
+                    return False
+            return True
+        for j, col in enumerate(B_cols):
+            xj = x_rec[j]
+            if xj:
+                for i, a in col:
+                    out[i] -= a * xj
+        return all(v == 0 for v in out)
 
     for step in range(max_steps):
-        mags = [_frac_mag2(ri) for ri in r]
-        mx = max((g for g in mags if g is not None), default=None)
+        R, C = int_residual(X, T)
+        mx = max(
+            (r.bit_length() - C for r in R if r), default=None
+        )
         if mx is None:
-            return x  # residual exactly zero: x is exact (dyadic)
+            return [FR(xi, 1 << T) for xi in X]  # exactly solved (dyadic)
         bits = -mx
         # rational reconstruction once enough correct bits accumulated:
-        # |x − p/q| < 1/(2q²) pins p/q uniquely via continued fractions
-        if bits > 80:
+        # |x − p/q| < 1/(2q²) pins p/q uniquely via continued fractions.
+        # Attempts follow a geometric schedule (the Euclid expansions are
+        # the expensive part at XL denominators), and entries share the
+        # common-denominator shortcut: solution denominators all divide
+        # det(B) (Cramer), so once a few entries fix the lcm L, the rest
+        # reconstruct as round(x·L)/L — O(1) per entry, no Euclid.  The
+        # per-entry gap test (den ≪ D) filters doomed attempts; the exact
+        # residual verification at the end guards soundness regardless.
+        if bits > 96 and bits >= 2 * last_attempt:
+            last_attempt = bits
             D = 1 << max(1, (bits - 16) // 2)
-            x_rec = [xi.limit_denominator(D) for xi in x]
-            if all(v == 0 for v in residual_of(x_rec)):
+            gap_cap = max(1, (bits - 16) // 2 - 12)
+            L = 1
+            x_rec = [None] * m
+            ok_rec = True
+            half = 1 << (T - 1) if T else 0
+            for i in range(m):
+                Xi = X[i]
+                if Xi == 0:
+                    x_rec[i] = FR(0)
+                    continue
+                if L > 1:
+                    prod = Xi * L
+                    num = (prod + half) >> T if T else prod
+                    if abs(prod - (num << T)) <= (
+                        1 << max(0, T - 30)
+                    ):
+                        x_rec[i] = FR(num, L)
+                        continue
+                fr = FR(Xi, 1 << T).limit_denominator(D)
+                if fr.denominator.bit_length() > gap_cap:
+                    ok_rec = False
+                    break
+                x_rec[i] = fr
+                d = fr.denominator
+                if L % d:
+                    import math as _m2
+
+                    L = L * d // _m2.gcd(L, d)
+            if ok_rec and frac_residual_zero(x_rec):
                 return x_rec
         if prev_bits is not None and bits < prev_bits + 8:
             stall += 1
@@ -309,21 +422,286 @@ def _refine_solve_sparse(lu, B_cols, rhs, trans: bool, max_steps: int = 64):
         else:
             stall = 0
         prev_bits = bits
-        # scale the exact residual into float range and correct through
-        # the float LU
-        scale = FR(2) ** (-mx)
-        rf = np.array(
-            [float(ri * scale) if ri else 0.0 for ri in r], np.float64
-        )
+        # scale the exact residual into float range, correct via float LU
+        rf = np.array([_ldexp_int(r, -C - mx) for r in R], np.float64)
         d = lu.solve(rf, trans="T") if trans else lu.solve(rf)
         if not np.all(np.isfinite(d)):
             return None
-        inv_scale = FR(2) ** mx
-        for i in range(m):
-            if d[i]:
-                x[i] += FR(float(d[i])) * inv_scale
-        r = residual_of(x)
+        # x += d · 2^mx  exactly (each float is dyadic)
+        ds = [_dyadic(FR(float(v))) if v else (0, 0) for v in d]
+        T_new = max([T] + [e - mx for _, e in ds if e - mx > 0])
+        if T_new > T:
+            sh = T_new - T
+            X = [xi << sh for xi in X]
+            T = T_new
+        for i, (num, e) in enumerate(ds):
+            if num:
+                X[i] += num << (T - (e - mx))
     return None
+
+
+class _BasisSystem:
+    """Exact model of one basis of a computational form.
+
+    Shared machinery of the certificate and the exact polish: sparse
+    rational basis columns, the float LU that drives exact refinement
+    solves, nonbasic values / rhs, and the exact (xB, y) solutions.
+    """
+
+    def __init__(self, cf, kinds, vstat, art_sign):
+        import numpy as np
+        import scipy.sparse as _sp
+        from scipy.sparse.linalg import splu as _splu
+
+        from relp_tpu.simplex import status as st
+
+        FR = Fraction
+        m, n = cf.m, cf.n
+        self.cf = cf
+        self.m, self.n = m, n
+        self.kinds = list(kinds)
+        self.vstat = vstat
+        A = cf.A.tocsc()
+        self.A = A
+
+        def frac_col(j):
+            return [
+                (int(A.indices[p]), FR(float(A.data[p])))
+                for p in range(A.indptr[j], A.indptr[j + 1])
+                if A.data[p] != 0.0
+            ]
+
+        self.frac_col = frac_col
+        in_basis = set()
+        B_cols = []
+        cB = []
+        slot_lb = []
+        slot_ub = []
+        for kind in self.kinds:
+            if kind >= 0:
+                B_cols.append(frac_col(kind))
+                cB.append(FR(float(cf.c[kind])))
+                lo, hi = float(cf.lb[kind]), float(cf.ub[kind])
+                # None marks an unbounded side (Fraction(inf) is undefined)
+                slot_lb.append(FR(lo) if np.isfinite(lo) else None)
+                slot_ub.append(FR(hi) if np.isfinite(hi) else None)
+                in_basis.add(kind)
+            else:
+                r = -kind - 1
+                B_cols.append([(r, FR(float(art_sign[r]) or 1.0))])
+                cB.append(FR(0))
+                # artificial of a (redundant) row: must sit exactly at 0
+                slot_lb.append(FR(0))
+                slot_ub.append(FR(0))
+        self.in_basis = in_basis
+        self.B_cols = B_cols
+        self.cB = cB
+        self.slot_lb = slot_lb
+        self.slot_ub = slot_ub
+
+        # nonbasic values and the rhs b − N x_N (exact)
+        rhs = [FR(float(v)) for v in cf.b]
+        x_nb = {}
+        for j in range(n):
+            if j in in_basis:
+                continue
+            sj = int(vstat[j])
+            if sj == st.BASIC:
+                raise ValueError(f"column {j} marked BASIC but not in basis")
+            if sj == st.NB_UPPER:
+                v = float(cf.ub[j])
+            elif sj == st.NB_FREE:
+                v = 0.0
+            else:  # NB_LOWER / NB_FIXED
+                v = float(cf.lb[j])
+            if not np.isfinite(v):
+                raise ValueError(
+                    f"nonbasic column {j} rests at infinite bound"
+                )
+            if v != 0.0:
+                xv = FR(v)
+                x_nb[j] = xv
+                for p in range(A.indptr[j], A.indptr[j + 1]):
+                    rhs[A.indices[p]] -= FR(float(A.data[p])) * xv
+            else:
+                x_nb[j] = FR(0)
+        self.rhs = rhs
+        self.x_nb = x_nb
+
+        # float LU of the basis (drives the exact refinement solves)
+        try:
+            rows = np.array(
+                [i for col in B_cols for i, _ in col], np.int64
+            )
+            cols_ix = np.array(
+                [k for k, col in enumerate(B_cols) for _ in col], np.int64
+            )
+            data = np.array(
+                [float(a) for col in B_cols for _, a in col], np.float64
+            )
+            B_f = _sp.csc_matrix((data, (rows, cols_ix)), shape=(m, m))
+            self.lu = _splu(B_f, permc_spec="COLAMD")
+        except RuntimeError:
+            self.lu = None
+
+    def solve(self, rhs, trans=False):
+        """Exact solve of B x = rhs (Bᵀ x = rhs when ``trans``), or None."""
+        if self.lu is None:
+            return None
+        return _refine_solve_sparse(self.lu, self.B_cols, rhs, trans=trans)
+
+    def dense_solves(self):
+        """Dense exact elimination fallback: (xB, y) or None-if-singular."""
+        FR = Fraction
+        m = self.m
+        B = [[FR(0)] * m for _ in range(m)]
+        for k, col in enumerate(self.B_cols):
+            for i, a in col:
+                B[i][k] = a
+        sol = _solve_fraction_system(B, [self.rhs])
+        Bt = [[B[i][k] for i in range(m)] for k in range(m)]
+        sol_y = (
+            _solve_fraction_system(Bt, [self.cB]) if sol is not None else None
+        )
+        if sol is None or sol_y is None:
+            return None
+        return sol[0], sol_y[0]
+
+    def _a_int(self):
+        """Integer image of A over the common denominator 2^E (cached on
+        the computational form — shared by every sweep and polish pivot)."""
+        cache = self.cf.__dict__.get("_exact_a_int")
+        if cache is None:
+            A = self.A
+            a_dy = [_dyadic(Fraction(float(d))) for d in A.data]
+            E = max((e for _, e in a_dy), default=0)
+            a_int = [an << (E - ae) for an, ae in a_dy]
+            cache = (a_int, E)
+            self.cf.__dict__["_exact_a_int"] = cache
+        return cache
+
+    def row_sweep(self, vec):
+        """Exact aᵀ_j·vec for every column j (integer core over the common
+        denominator L·2^E — solution denominators divide det(B) by Cramer,
+        so the lcm stays det-sized).  Returns (nums list, den int)."""
+        import math as _math
+
+        A, n = self.A, self.n
+        L = 1
+        for v in vec:
+            L = L * v.denominator // _math.gcd(L, v.denominator)
+        V = [v.numerator * (L // v.denominator) for v in vec]
+        a_int, E = self._a_int()
+        nums = [0] * n
+        for j in range(n):
+            acc = 0
+            for p in range(A.indptr[j], A.indptr[j + 1]):
+                vi = V[A.indices[p]]
+                if vi:
+                    acc += a_int[p] * vi
+            nums[j] = acc
+        return nums, L << E
+
+
+def _exact_xb_y(sys: "_BasisSystem", m: int):
+    """(xB, y) exactly, via refinement then dense fallback; raises on
+    honest inability; returns None for singular-over-ℚ."""
+    xB = y = None
+    if sys.lu is not None:
+        xB = sys.solve(sys.rhs, trans=False)
+        if xB is not None:
+            y = sys.solve(sys.cB, trans=True)
+    if xB is None or y is None:
+        if m <= 1200:
+            pair = sys.dense_solves()
+            if pair is None:
+                return None
+            xB, y = pair
+        elif sys.lu is None:
+            # float-singular at a size where dense exact elimination is
+            # intractable: cannot decide singularity over ℚ — refuse
+            # honestly rather than mislabel
+            raise ValueError(
+                f"cannot certify: basis is float-singular at m={m}"
+            )
+        else:
+            raise ValueError(
+                f"exact refinement did not converge at m={m} (solution "
+                "denominators beyond the reconstruction budget)"
+            )
+    return xB, y
+
+
+_REDUNDANT_RESIDUAL_CAP = Fraction(1, 1 << 40)  # ~9e-13: strictly a float-
+# rounding artifact scale; larger artificial levels stay real violations
+
+
+def _violations(cf, sys: "_BasisSystem", vstat, xB, y):
+    """Exact primal/dual violation lists.
+
+    Returns (primal, dual, redundant): ``primal`` = [(slot, viol, below)]
+    over slots a pivot can fix, ``dual`` = [(j, d_j)] for sign-violating
+    nonbasic columns, ``redundant`` = [(row, residual)] for basic
+    artificials of numerically redundant rows whose exact level is below
+    the rounding-artifact cap (see OptimalityCertificate.redundant_rows);
+    all exact Fractions, worst first.  The reduced-cost sweep
+    ``(d_nums, den)`` is attached as ``_violations.last_sweep`` for
+    callers that pivot (avoids recomputing it)."""
+    from relp_tpu.simplex import status as st
+
+    FR = Fraction
+    primal = []
+    redundant = []
+    for k in range(sys.m):
+        lo, hi = sys.slot_lb[k], sys.slot_ub[k]
+        if lo is not None and xB[k] < lo:
+            viol, below = lo - xB[k], True
+        elif hi is not None and xB[k] > hi:
+            viol, below = xB[k] - hi, False
+        else:
+            continue
+        if sys.kinds[k] < 0 and viol <= _REDUNDANT_RESIDUAL_CAP:
+            redundant.append((-sys.kinds[k] - 1, viol))
+        else:
+            primal.append((k, viol, below))
+    d_nums, den = sys.row_sweep(y)
+    c_dy = [_dyadic(FR(float(cf.c[j]))) for j in range(sys.n)]
+    # bring c_j onto the sweep denominator: d_j = c_j − a_jᵀy
+    dual = []
+    for j in range(sys.n):
+        if j in sys.in_basis:
+            continue
+        s = int(vstat[j])
+        if s == st.NB_FIXED or float(cf.lb[j]) == float(cf.ub[j]):
+            continue  # fixed: any sign is optimal
+        d = FR(c_dy[j][0], 1 << c_dy[j][1]) - FR(d_nums[j], den)
+        if s == st.NB_UPPER:
+            if d > 0:
+                dual.append((j, d))
+        elif s == st.NB_FREE:
+            if d != 0:
+                dual.append((j, d))
+        else:  # NB_LOWER
+            if d < 0:
+                dual.append((j, d))
+    primal.sort(key=lambda t: -t[1])
+    dual.sort(key=lambda t: -abs(t[1]))
+    redundant.sort(key=lambda t: -t[1])
+    _violations.last_sweep = (d_nums, den)
+    return primal, dual, redundant
+
+
+def _objective_of(cf, sys: "_BasisSystem", xB):
+    FR = Fraction
+    obj = FR(0)
+    for k, kind in enumerate(sys.kinds):
+        if kind >= 0 and sys.cB[k]:
+            obj += sys.cB[k] * xB[k]
+    for j, xv in sys.x_nb.items():
+        if xv:
+            obj += FR(float(cf.c[j])) * xv
+    sigma = -1 if cf.maximize else 1
+    return sigma * obj + FR(float(cf.fixed_cost))
 
 
 def certify_optimal_basis(cf, result, size_limit: int | None = None) -> OptimalityCertificate:
@@ -350,11 +728,8 @@ def certify_optimal_basis(cf, result, size_limit: int | None = None) -> Optimali
     succeeded (honest inability, never a wrong certificate).
     """
     import numpy as np
-    import scipy.sparse as _sp
-    from scipy.sparse.linalg import splu as _splu
 
     from relp_tpu.analysis.ranging import _basis_in_cf_space
-    from relp_tpu.simplex import status as st
 
     if result.basis is None or result.vstat is None:
         raise ValueError("result carries no basis to certify")
@@ -371,164 +746,228 @@ def certify_optimal_basis(cf, result, size_limit: int | None = None) -> Optimali
         if getattr(result, "art_sign", None) is not None
         else np.ones(m)
     )
-
     kinds = _basis_in_cf_space(cf, basis, n_pad)
-    A = cf.A.tocsc()
     FR = Fraction
 
-    def frac_col(j) -> List[Tuple[int, Fraction]]:
-        return [
-            (int(A.indices[p]), FR(float(A.data[p])))
-            for p in range(A.indptr[j], A.indptr[j + 1])
-            if A.data[p] != 0.0
-        ]
-
-    in_basis = set()
-    B_cols: List[List[Tuple[int, Fraction]]] = []
-    cB: List[Fraction] = []
-    slot_lb: List[Fraction] = []
-    slot_ub: List[Fraction] = []
-    for kind in kinds:
-        if kind >= 0:
-            B_cols.append(frac_col(kind))
-            cB.append(FR(float(cf.c[kind])))
-            lo, hi = float(cf.lb[kind]), float(cf.ub[kind])
-            # None marks an unbounded side (Fraction(inf) is undefined)
-            slot_lb.append(FR(lo) if np.isfinite(lo) else None)
-            slot_ub.append(FR(hi) if np.isfinite(hi) else None)
-            in_basis.add(kind)
-        else:
-            r = -kind - 1
-            B_cols.append([(r, FR(float(art_sign[r]) or 1.0))])
-            cB.append(FR(0))
-            # artificial of a (redundant) row: must sit exactly at 0
-            slot_lb.append(FR(0))
-            slot_ub.append(FR(0))
-
-    # nonbasic values and the rhs b − N x_N (exact)
-    rhs = [FR(float(v)) for v in cf.b]
-    x_nb: Dict[int, Fraction] = {}
-    for j in range(n):
-        if j in in_basis:
-            continue
-        s = int(vstat[j])
-        if s == st.BASIC:
-            # vstat says basic but the slot maps elsewhere — inconsistent
-            raise ValueError(f"column {j} marked BASIC but not in basis")
-        if s == st.NB_UPPER:
-            v = float(cf.ub[j])
-        elif s == st.NB_FREE:
-            v = 0.0
-        else:  # NB_LOWER / NB_FIXED
-            v = float(cf.lb[j])
-        if not np.isfinite(v):
-            raise ValueError(f"nonbasic column {j} rests at infinite bound")
-        if v != 0.0:
-            xv = FR(v)
-            x_nb[j] = xv
-            for p in range(A.indptr[j], A.indptr[j + 1]):
-                rhs[A.indices[p]] -= FR(float(A.data[p])) * xv
-        else:
-            x_nb[j] = FR(0)
-
-    def _dense_fallback():
-        """Exact elimination decides singularity-over-ℚ definitively."""
-        B = [[FR(0)] * m for _ in range(m)]
-        for k, col in enumerate(B_cols):
-            for i, a in col:
-                B[i][k] = a
-        sol = _solve_fraction_system(B, [rhs])
-        Bt = [[B[i][k] for i in range(m)] for k in range(m)]
-        sol_y = _solve_fraction_system(Bt, [cB]) if sol is not None else None
-        if sol is None or sol_y is None:
-            return None
-        return sol[0], sol_y[0]
-
-    xB = y = None
-    lu = None
-    try:
-        rows = np.concatenate(
-            [[i for i, _ in col] for col in B_cols if col]
-            or [np.zeros(0, np.int64)]
-        ).astype(np.int64)
-        cols_ix = np.concatenate(
-            [[k] * len(col) for k, col in enumerate(B_cols) if col]
-            or [np.zeros(0, np.int64)]
-        ).astype(np.int64)
-        data = np.array(
-            [float(a) for col in B_cols for _, a in col], np.float64
+    sys_b = _BasisSystem(cf, kinds, vstat, art_sign)
+    pair = _exact_xb_y(sys_b, m)
+    if pair is None:
+        return OptimalityCertificate(
+            basis_nonsingular=False,
+            max_primal_violation=FR(0),
+            max_dual_violation=FR(0),
+            objective=FR(0),
         )
-        B_f = _sp.csc_matrix((data, (rows, cols_ix)), shape=(m, m))
-        lu = _splu(B_f, permc_spec="COLAMD")
-    except RuntimeError:
-        lu = None
-    if lu is not None:
-        xB = _refine_solve_sparse(lu, B_cols, rhs, trans=False)
-        if xB is not None:
-            y = _refine_solve_sparse(lu, B_cols, cB, trans=True)
-    if xB is None or y is None:
-        if m <= 1200:
-            pair = _dense_fallback()
-            if pair is None:
-                return OptimalityCertificate(
+    xB, y = pair
+    primal, dual, redundant = _violations(cf, sys_b, vstat, xB, y)
+    return OptimalityCertificate(
+        basis_nonsingular=True,
+        max_primal_violation=primal[0][1] if primal else FR(0),
+        max_dual_violation=abs(dual[0][1]) if dual else FR(0),
+        objective=_objective_of(cf, sys_b, xB),
+        redundant_rows=len(redundant),
+        max_redundant_residual=redundant[0][1] if redundant else FR(0),
+    )
+
+
+def polish_to_certified(cf, result, max_pivots: int = 32):
+    """Drive a float-optimal basis to an EXACTLY optimal one by exact
+    simplex pivots over ℚ, then certify it.
+
+    The reference's phase-2 contract is ``FiniteOptimum(current_bfs)`` — a
+    vertex, exact by construction (phase_two.rs:22-51, rational
+    arithmetic).  A float solver instead stops at tolerances: its basis can
+    be out of exact feasibility/optimality by ~1e-16 — invisible to f64
+    yet real over ℚ (the certificate honestly flags it).  This polish
+    finishes the job the way the reference's engine would: each remaining
+    violation is removed by ONE exact pivot — a dual-simplex step for an
+    exact bound violation, a primal step (with exact ratio test, bound
+    flips included) for a reduced-cost sign violation — with every
+    quantity solved over ℚ through the refinement engine.  Typically 1-3
+    pivots; ``max_pivots`` caps pathological cases.
+
+    Returns ``(certificate, pivots_applied)``.  On success the pivoted
+    basis/vstat are written back into ``result`` so downstream consumers
+    (ranging, basis files) see the certified vertex.
+    """
+    import numpy as np
+
+    from relp_tpu.analysis.ranging import _basis_in_cf_space
+    from relp_tpu.simplex import status as st
+
+    if result.basis is None or result.vstat is None:
+        raise ValueError("result carries no basis to certify")
+    FR = Fraction
+    m, n = cf.m, cf.n
+    n_pad = result.metrics.n_padded if result.metrics else n
+    basis = np.asarray(result.basis).copy()
+    vstat = np.asarray(result.vstat).copy()
+    art_sign = (
+        np.asarray(result.art_sign)
+        if getattr(result, "art_sign", None) is not None
+        else np.ones(m)
+    )
+    kinds = _basis_in_cf_space(cf, basis, n_pad)
+    # padded slot index behind each real slot (write-back map)
+    slot_map = [
+        k for k, j in enumerate(np.asarray(basis))
+        if int(j) < cf.n or (int(j) >= n_pad and int(j) - n_pad < m)
+    ]
+
+    def _mk_cert(sys_b, xB, primal, dual, redundant):
+        return OptimalityCertificate(
+            basis_nonsingular=True,
+            max_primal_violation=primal[0][1] if primal else FR(0),
+            max_dual_violation=abs(dual[0][1]) if dual else FR(0),
+            objective=_objective_of(cf, sys_b, xB),
+            redundant_rows=len(redundant),
+            max_redundant_residual=redundant[0][1] if redundant else FR(0),
+        )
+
+    pivots = 0
+    while True:
+        sys_b = _BasisSystem(cf, kinds, vstat, art_sign)
+        pair = _exact_xb_y(sys_b, m)
+        if pair is None:
+            return (
+                OptimalityCertificate(
                     basis_nonsingular=False,
                     max_primal_violation=FR(0),
                     max_dual_violation=FR(0),
                     objective=FR(0),
-                )
-            xB, y = pair
-        elif lu is None:
-            # float-singular at a size where dense exact elimination is
-            # intractable: cannot decide singularity over Q — refuse
-            # honestly rather than mislabel
-            raise ValueError(
-                f"cannot certify: basis is float-singular at m={m}"
+                ),
+                pivots,
             )
-        else:
-            raise ValueError(
-                f"exact refinement did not converge at m={m} (solution "
-                "denominators beyond the reconstruction budget)"
+        xB, y = pair
+        primal, dual, redundant = _violations(cf, sys_b, vstat, xB, y)
+        if (not primal and not dual) or pivots >= max_pivots:
+            if pivots:  # write the certified basis back
+                for k, slot in enumerate(slot_map):
+                    kd = kinds[k]
+                    basis[slot] = kd if kd >= 0 else n_pad + (-kd - 1)
+                result.basis = basis
+                result.vstat = vstat
+            return _mk_cert(sys_b, xB, primal, dual, redundant), pivots
+        if sys_b.lu is None:
+            return _mk_cert(sys_b, xB, primal, dual, redundant), pivots
+
+        lb_f = [
+            FR(float(cf.lb[j])) if np.isfinite(cf.lb[j]) else None
+            for j in range(n)
+        ]
+        ub_f = [
+            FR(float(cf.ub[j])) if np.isfinite(cf.ub[j]) else None
+            for j in range(n)
+        ]
+
+        # exact reduced costs of every column (the sweep _violations
+        # already ran)
+        d_nums, d_den = _violations.last_sweep
+
+        def d_of(j):
+            return FR(float(cf.c[j])) - FR(d_nums[j], d_den)
+
+        def leave_stat_of(kind, below):
+            if kind < 0:
+                return None  # artificial: parks at its fixed 0 level
+            if lb_f[kind] is not None and lb_f[kind] == ub_f[kind]:
+                return st.NB_FIXED
+            return st.NB_LOWER if below else st.NB_UPPER
+
+        applied = False
+        if primal:
+            # ---- dual simplex step on the worst exact bound violation
+            r, _viol, below = primal[0]
+            e_r = [FR(0)] * m
+            e_r[r] = FR(1)
+            rho = sys_b.solve(e_r, trans=True)
+            if rho is not None:
+                a_nums, a_den = sys_b.row_sweep(rho)
+                best = None  # (ratio, -|alpha|, j, alpha)
+                for j in range(n):
+                    if j in sys_b.in_basis or not a_nums[j]:
+                        continue
+                    s = int(vstat[j])
+                    if s == st.NB_FIXED or (
+                        lb_f[j] is not None and lb_f[j] == ub_f[j]
+                    ):
+                        continue
+                    alpha = FR(a_nums[j], a_den)
+                    a_eff = alpha if below else -alpha
+                    at_l = s in (st.NB_LOWER, st.NB_FREE)
+                    at_u = s in (st.NB_UPPER, st.NB_FREE)
+                    if not ((at_l and a_eff < 0) or (at_u and a_eff > 0)):
+                        continue
+                    ratio = abs(d_of(j)) / abs(a_eff)
+                    key = (ratio, -abs(alpha), j)
+                    if best is None or key < best[0]:
+                        best = (key, j, alpha)
+                if best is not None:
+                    _, q, alpha = best
+                    kd = kinds[r]
+                    stat = leave_stat_of(kd, below)
+                    if kd >= 0:
+                        vstat[kd] = stat
+                    kinds[r] = q
+                    vstat[q] = st.BASIC
+                    pivots += 1
+                    applied = True
+        if not applied and dual:
+            # ---- primal step (exact ratio test + bound flip) on the worst
+            # reduced-cost sign violation
+            q, dq = dual[0]
+            sigma = 1 if dq < 0 else -1
+            a_q = sys_b.frac_col(q)
+            u = sys_b.solve(
+                [FR(0)] * m
+                if not a_q
+                else [
+                    next((v for i2, v in a_q if i2 == i), FR(0))
+                    for i in range(m)
+                ],
+                trans=False,
             )
-
-    primal_viol = FR(0)
-    for k in range(m):
-        if slot_lb[k] is not None:
-            primal_viol = max(primal_viol, slot_lb[k] - xB[k])
-        if slot_ub[k] is not None:
-            primal_viol = max(primal_viol, xB[k] - slot_ub[k])
-
-    dual_viol = FR(0)
-    for j in range(n):
-        if j in in_basis:
-            continue
-        s = int(vstat[j])
-        if s == st.NB_FIXED or float(cf.lb[j]) == float(cf.ub[j]):
-            continue  # fixed: any sign is optimal
-        d = FR(float(cf.c[j]))
-        for p in range(A.indptr[j], A.indptr[j + 1]):
-            d -= FR(float(A.data[p])) * y[A.indices[p]]
-        if s == st.NB_UPPER:
-            dual_viol = max(dual_viol, d)
-        elif s == st.NB_FREE:
-            dual_viol = max(dual_viol, abs(d))
-        else:  # NB_LOWER
-            dual_viol = max(dual_viol, -d)
-
-    # exact objective: scaled-space min objective maps to the original
-    # sense by sigma (c_cf = sigma * C * c_orig and x_orig = C x_cf)
-    obj = FR(0)
-    for kind, k in zip(kinds, range(m)):
-        if kind >= 0 and cB[k]:
-            obj += cB[k] * xB[k]
-    for j, xv in x_nb.items():
-        if xv:
-            obj += FR(float(cf.c[j])) * xv
-    sigma = -1 if cf.maximize else 1
-    obj = sigma * obj + FR(float(cf.fixed_cost))
-
-    return OptimalityCertificate(
-        basis_nonsingular=True,
-        max_primal_violation=primal_viol,
-        max_dual_violation=dual_viol,
-        objective=obj,
-    )
+            if u is not None:
+                theta_blk = None  # (theta, -|u|, slot)
+                for k in range(m):
+                    su = u[k] * sigma
+                    if su > 0 and sys_b.slot_lb[k] is not None:
+                        t = (xB[k] - sys_b.slot_lb[k]) / su
+                    elif su < 0 and sys_b.slot_ub[k] is not None:
+                        t = (xB[k] - sys_b.slot_ub[k]) / su
+                    else:
+                        continue
+                    t = max(t, FR(0))
+                    key = (t, -abs(u[k]), k)
+                    if theta_blk is None or key < theta_blk:
+                        theta_blk = key
+                val_q = sys_b.x_nb[q]
+                theta_own = None
+                if sigma > 0 and ub_f[q] is not None:
+                    theta_own = ub_f[q] - val_q
+                elif sigma < 0 and lb_f[q] is not None:
+                    theta_own = val_q - lb_f[q]
+                if theta_own is not None and (
+                    theta_blk is None or theta_own <= theta_blk[0]
+                ):
+                    # bound-to-bound flip: no basis change
+                    vstat[q] = (
+                        st.NB_UPPER if sigma > 0 else st.NB_LOWER
+                    )
+                    pivots += 1
+                    applied = True
+                elif theta_blk is not None:
+                    _t, _negu, r_blk = theta_blk
+                    su = u[r_blk] * sigma
+                    kd = kinds[r_blk]
+                    stat = leave_stat_of(kd, below=(su > 0))
+                    if kd >= 0:
+                        vstat[kd] = stat
+                    kinds[r_blk] = q
+                    vstat[q] = st.BASIC
+                    pivots += 1
+                    applied = True
+        if not applied:
+            # no admissible exact pivot (exactly infeasible/unbounded
+            # beyond repair): report the honest certificate
+            return _mk_cert(sys_b, xB, primal, dual, redundant), pivots
