@@ -122,6 +122,10 @@ def _flops_for(metrics, config) -> float:
     if config.algorithm == "pdlp" and metrics.pivots == 0:
         # PDHG: two SpMVs + O(m+n) vector work per iteration, no inverse
         return float(it) * (4.0 * (metrics.nnz or m * n) + 10.0 * (m + n))
+    if config.algorithm == "ipm" and metrics.pivots == 0:
+        # Mehrotra: one (m,n)·(n,m) normal-equation GEMM + one m³/3
+        # Cholesky per iteration (predictor+corrector share the factor)
+        return float(it) * (2.0 * m * m * n + m**3 / 3.0)
     if metrics.matrix_format in ("ell", "hybrid") and metrics.nnz:
         pricing = 4.0 * metrics.nnz
     else:
@@ -717,7 +721,7 @@ def main(argv=None) -> int:
         rows_removed += m0 - general.nr_constraints
         cols_removed += n0 - general.nr_variables
         if res.simplex and res.simplex.metrics:
-            total_flops += _flops_for(res.simplex.metrics, config)
+            total_flops += _flops_for(res.simplex.metrics, cfg_for(name))
         obj = res.solution.objective_value if res.solution else None
         entry = {
             "status": res.kind.value,
@@ -730,7 +734,7 @@ def main(argv=None) -> int:
         }
         if res.simplex and res.simplex.metrics:
             entry["matrix_format"] = res.simplex.metrics.matrix_format
-            entry["hbm_bytes_est"] = _hbm_bytes(res.simplex.metrics, config)
+            entry["hbm_bytes_est"] = _hbm_bytes(res.simplex.metrics, cfg_for(name))
         exp = LARGE_EXPECTED.get(name)
         if exp is not None and obj is not None:
             entry["objective_ok"] = bool(abs(obj - exp[0]) <= exp[1])

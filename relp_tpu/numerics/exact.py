@@ -294,10 +294,18 @@ def _refine_solve_sparse(lu, B_cols, rhs, trans: bool, max_steps: int = 768):
     failure — e.g. a solution whose true denominators exceed the refinement
     precision budget).
     """
+    import os as _os
+
     import numpy as np
 
     FR = Fraction
     m = len(rhs)
+    _dbg = bool(_os.environ.get("RELP_TPU_EXACT_DEBUG"))
+    solver = (
+        lu
+        if callable(lu)
+        else (lambda rf, trans=False: lu.solve(rf, trans="T") if trans else lu.solve(rf))
+    )
 
     # Integer core: every input is dyadic, so the exact iterate, residual
     # and matrix live as integers over power-of-two denominators — no
@@ -422,9 +430,11 @@ def _refine_solve_sparse(lu, B_cols, rhs, trans: bool, max_steps: int = 768):
         else:
             stall = 0
         prev_bits = bits
+        if _dbg:
+            print(f"# refine step={step} bits={bits} T={T}", flush=True)
         # scale the exact residual into float range, correct via float LU
         rf = np.array([_ldexp_int(r, -C - mx) for r in R], np.float64)
-        d = lu.solve(rf, trans="T") if trans else lu.solve(rf)
+        d = solver(rf, trans=trans)
         if not np.all(np.isfinite(d)):
             return None
         # x += d · 2^mx  exactly (each float is dyadic)
@@ -528,7 +538,10 @@ class _BasisSystem:
         self.rhs = rhs
         self.x_nb = x_nb
 
-        # float LU of the basis (drives the exact refinement solves)
+        # float LU of the basis (drives the exact refinement solves),
+        # after power-of-two Ruiz equilibration: the scales are exact in
+        # the dyadic world and the refinement's bits-per-step rides on the
+        # scaled conditioning (PILOT87-class bases stall without it)
         try:
             rows = np.array(
                 [i for col in B_cols for i, _ in col], np.int64
@@ -540,7 +553,26 @@ class _BasisSystem:
                 [float(a) for col in B_cols for _, a in col], np.float64
             )
             B_f = _sp.csc_matrix((data, (rows, cols_ix)), shape=(m, m))
-            self.lu = _splu(B_f, permc_spec="COLAMD")
+            dr = np.ones(m)
+            dc = np.ones(m)
+            S = B_f.copy()
+            for _ in range(6):
+                rmax = np.abs(S).max(axis=1).toarray().ravel()
+                rs = np.exp2(-np.round(np.log2(np.where(rmax > 0, rmax, 1.0)) / 2.0))
+                S = _sp.diags(rs) @ S
+                cmax = np.abs(S).max(axis=0).toarray().ravel()
+                cs = np.exp2(-np.round(np.log2(np.where(cmax > 0, cmax, 1.0)) / 2.0))
+                S = S @ _sp.diags(cs)
+                dr *= rs
+                dc *= cs
+            lu_s = _splu(S.tocsc(), permc_spec="COLAMD")
+
+            def _solver(rf, trans=False):
+                if trans:
+                    return dr * lu_s.solve(dc * rf, trans="T")
+                return dc * lu_s.solve(dr * rf)
+
+            self.lu = _solver
         except RuntimeError:
             self.lu = None
 
