@@ -273,7 +273,7 @@ def _ldexp_int(n: int, e: int) -> float:
     return math.ldexp(n, e)
 
 
-def _refine_solve_sparse(lu, B_cols, rhs, trans: bool, max_steps: int = 768):
+def _refine_solve_sparse(lu, B_cols, rhs, trans: bool, max_steps: int = 0):
     """Solve ``B x = rhs`` (or ``Bᵀ x = rhs``) EXACTLY over ℚ.
 
     The scalable replacement for dense ``Fraction`` elimination (VERDICT r4
@@ -300,6 +300,11 @@ def _refine_solve_sparse(lu, B_cols, rhs, trans: bool, max_steps: int = 768):
 
     FR = Fraction
     m = len(rhs)
+    if not max_steps:
+        # ~40k correct bits by default; RELP_TPU_EXACT_MAXSTEPS raises the
+        # budget for det-huge instances (PILOT87-class: >> 32k-bit basis
+        # determinants; each extra step costs O(nnz·bits) integer work)
+        max_steps = int(_os.environ.get("RELP_TPU_EXACT_MAXSTEPS", "768"))
     _dbg = bool(_os.environ.get("RELP_TPU_EXACT_DEBUG"))
     solver = (
         lu
@@ -565,14 +570,23 @@ class _BasisSystem:
                 S = S @ _sp.diags(cs)
                 dr *= rs
                 dc *= cs
-            lu_s = _splu(S.tocsc(), permc_spec="COLAMD")
+            try:
+                lu_s = _splu(S.tocsc(), permc_spec="COLAMD")
 
-            def _solver(rf, trans=False):
-                if trans:
-                    return dr * lu_s.solve(dc * rf, trans="T")
-                return dc * lu_s.solve(dr * rf)
+                def _solver(rf, trans=False):
+                    if trans:
+                        return dr * lu_s.solve(dc * rf, trans="T")
+                    return dc * lu_s.solve(dr * rf)
 
-            self.lu = _solver
+                self.lu = _solver
+            except RuntimeError:
+                # scaling changes partial-pivot choices and can hit an
+                # exact-zero pivot on artificial-heavy bases — retry raw
+                lu_r = _splu(B_f, permc_spec="COLAMD")
+                self.lu = (
+                    lambda rf, trans=False:
+                    lu_r.solve(rf, trans="T") if trans else lu_r.solve(rf)
+                )
         except RuntimeError:
             self.lu = None
 
@@ -802,7 +816,7 @@ def certify_optimal_basis(cf, result, size_limit: int | None = None) -> Optimali
     )
 
 
-def polish_to_certified(cf, result, max_pivots: int = 32):
+def polish_to_certified(cf, result, max_pivots: int = 256):
     """Drive a float-optimal basis to an EXACTLY optimal one by exact
     simplex pivots over ℚ, then certify it.
 
@@ -908,16 +922,28 @@ def polish_to_certified(cf, result, max_pivots: int = 32):
 
         applied = False
         if primal:
-            # ---- dual simplex step on the worst exact bound violation
-            r, _viol, below = primal[0]
-            e_r = [FR(0)] * m
-            e_r[r] = FR(1)
-            rho = sys_b.solve(e_r, trans=True)
-            if rho is not None:
+            # ---- dual simplex steps on exact bound violations.  Tiny
+            # degenerate violations are independent (θ ≈ 0 — the pivot
+            # swaps the basis without moving other basics), so a ROUND
+            # applies one step per violated slot against the same exact
+            # system, deduping entering columns; interactions, if any,
+            # surface as fresh violations in the next round's certificate
+            # (soundness rides on the final exact certificate alone).
+            used_q = set()
+            for r, _viol, below in primal[: min(64, max_pivots - pivots)]:
+                e_r = [FR(0)] * m
+                e_r[r] = FR(1)
+                rho = sys_b.solve(e_r, trans=True)
+                if rho is None:
+                    break
                 a_nums, a_den = sys_b.row_sweep(rho)
-                best = None  # (ratio, -|alpha|, j, alpha)
+                best = None  # (ratio, -|alpha|, j)
                 for j in range(n):
-                    if j in sys_b.in_basis or not a_nums[j]:
+                    if (
+                        j in sys_b.in_basis
+                        or j in used_q
+                        or not a_nums[j]
+                    ):
                         continue
                     s = int(vstat[j])
                     if s == st.NB_FIXED or (
@@ -933,17 +959,19 @@ def polish_to_certified(cf, result, max_pivots: int = 32):
                     ratio = abs(d_of(j)) / abs(a_eff)
                     key = (ratio, -abs(alpha), j)
                     if best is None or key < best[0]:
-                        best = (key, j, alpha)
-                if best is not None:
-                    _, q, alpha = best
-                    kd = kinds[r]
-                    stat = leave_stat_of(kd, below)
-                    if kd >= 0:
-                        vstat[kd] = stat
-                    kinds[r] = q
-                    vstat[q] = st.BASIC
-                    pivots += 1
-                    applied = True
+                        best = (key, j)
+                if best is None:
+                    continue
+                _, q = best
+                kd = kinds[r]
+                stat = leave_stat_of(kd, below)
+                if kd >= 0:
+                    vstat[kd] = stat
+                kinds[r] = q
+                vstat[q] = st.BASIC
+                used_q.add(q)
+                pivots += 1
+                applied = True
         if not applied and dual:
             # ---- primal step (exact ratio test + bound flip) on the worst
             # reduced-cost sign violation

@@ -2700,7 +2700,15 @@ def _solve_fleet_ipm(A, b, c, lb, ub, config: SolverConfig):
 
     t0 = _t.perf_counter()
     while it < max_iter:
-        out = _vchunk(fdt, Afac, n_ir, state, delta, rho)
+        try:
+            out = _vchunk(fdt, Afac, n_ir, state, delta, rho)
+        except Exception as e:  # remote compile helper rejects the batched
+            # f64 program (observed: HTTP 500 on the 64-lane PILOT87 f64
+            # chunk, runs/tpu_r5h_fleet_pilot87.log) — keep the best f32
+            # points; stragglers go to the host fallback below
+            _log.warning("ipm fleet: chunk program failed (%s) — stopping "
+                         "ladder at rung %d", type(e).__name__, rung)
+            break
         state, delta, rho = out.state, out.delta, out.rho
         it += int(np.max(np.asarray(out.committed)))
         ck = np.asarray(out.best_kkt)
