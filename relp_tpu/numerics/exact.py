@@ -871,9 +871,25 @@ def polish_to_certified(cf, result, max_pivots: int = 256):
         )
 
     pivots = 0
+    batch_cap = 64  # pivots per round; drops to 1 after a bad batch
+    snapshot = None  # (kinds, vstat, pivots) before the last round
     while True:
         sys_b = _BasisSystem(cf, kinds, vstat, art_sign)
-        pair = _exact_xb_y(sys_b, m)
+        try:
+            pair = _exact_xb_y(sys_b, m)
+        except ValueError:
+            pair = None if snapshot is not None else None
+            if snapshot is None:
+                raise
+        if pair is None and snapshot is not None and batch_cap > 1:
+            # a batched round produced a singular basis (simultaneous
+            # swaps can interact): revert and replay one pivot at a time
+            kinds, vstat, pivots = snapshot
+            kinds = list(kinds)
+            vstat = vstat.copy()
+            batch_cap = 1
+            snapshot = None
+            continue
         if pair is None:
             return (
                 OptimalityCertificate(
@@ -929,8 +945,11 @@ def polish_to_certified(cf, result, max_pivots: int = 256):
             # system, deduping entering columns; interactions, if any,
             # surface as fresh violations in the next round's certificate
             # (soundness rides on the final exact certificate alone).
+            snapshot = (list(kinds), vstat.copy(), pivots)
             used_q = set()
-            for r, _viol, below in primal[: min(64, max_pivots - pivots)]:
+            for r, _viol, below in primal[
+                : min(batch_cap, max_pivots - pivots)
+            ]:
                 e_r = [FR(0)] * m
                 e_r[r] = FR(1)
                 rho = sys_b.solve(e_r, trans=True)

@@ -125,3 +125,34 @@ def test_fleet_ipm_dense_scenarios_match_highs():
         assert r.solution.objective_value == pytest.approx(
             ref.fun, rel=1e-6
         ), s
+
+
+def test_nested_core_matches_inloop():
+    """solve_core(nested=True) — the vmap-friendly nested-refactorization
+    form — reaches the same optimum as the classic in-loop form."""
+    import numpy as np
+
+    from relp_tpu.simplex import status as st
+    from relp_tpu.simplex.core import solve_core
+    from relp_tpu.utils.config import SolverConfig
+
+    rng = np.random.default_rng(17)
+    cfg = SolverConfig()
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        m, n = 24, 64
+        A = np.where(r.random((m, n)) < 0.2, r.standard_normal((m, n)), 0.0)
+        A[np.arange(m), r.integers(0, n, m)] = 1.0
+        b = A @ r.random(n)
+        c = r.standard_normal(n)
+        lb = np.zeros(n)
+        ub = np.full(n, 10.0)
+        o1 = solve_core(A, b, c, lb, ub, cfg=cfg, max_iter=2000)
+        o2 = solve_core(
+            A, b, c, lb, ub, cfg=cfg, max_iter=2000, nested=True
+        )
+        assert int(o1.status) == st.OPTIMAL
+        assert int(o2.status) == st.OPTIMAL
+        assert abs(float(o1.obj) - float(o2.obj)) <= 1e-8 * (
+            1 + abs(float(o1.obj))
+        )
