@@ -273,7 +273,7 @@ def _ldexp_int(n: int, e: int) -> float:
     return math.ldexp(n, e)
 
 
-def _refine_solve_sparse(lu, B_cols, rhs, trans: bool, max_steps: int = 0):
+def _refine_solve_sparse(lu, B_cols, rhs, trans: bool, max_steps: int = 0, approx_bits: int = 0):
     """Solve ``B x = rhs`` (or ``Bᵀ x = rhs``) EXACTLY over ℚ.
 
     The scalable replacement for dense ``Fraction`` elimination (VERDICT r4
@@ -386,6 +386,10 @@ def _refine_solve_sparse(lu, B_cols, rhs, trans: bool, max_steps: int = 0):
         if mx is None:
             return [FR(xi, 1 << T) for xi in X]  # exactly solved (dyadic)
         bits = -mx
+        if approx_bits and bits >= approx_bits:
+            # caller wants a certified-precision dyadic approximation,
+            # not the exact rational (pivot guidance: signs/ratios)
+            return [FR(xi, 1 << T) for xi in X]
         # rational reconstruction once enough correct bits accumulated:
         # |x − p/q| < 1/(2q²) pins p/q uniquely via continued fractions.
         # Attempts follow a geometric schedule (the Euclid expansions are
@@ -816,7 +820,7 @@ def certify_optimal_basis(cf, result, size_limit: int | None = None) -> Optimali
     )
 
 
-def polish_to_certified(cf, result, max_pivots: int = 256):
+def polish_to_certified(cf, result, max_pivots: int = 2048):
     """Drive a float-optimal basis to an EXACTLY optimal one by exact
     simplex pivots over ℚ, then certify it.
 
@@ -883,11 +887,11 @@ def polish_to_certified(cf, result, max_pivots: int = 256):
                 raise
         if pair is None and snapshot is not None and batch_cap > 1:
             # a batched round produced a singular basis (simultaneous
-            # swaps can interact): revert and replay one pivot at a time
+            # swaps can interact): revert and retry at half the width
             kinds, vstat, pivots = snapshot
             kinds = list(kinds)
             vstat = vstat.copy()
-            batch_cap = 1
+            batch_cap = max(1, batch_cap // 2)
             snapshot = None
             continue
         if pair is None:
@@ -902,6 +906,14 @@ def polish_to_certified(cf, result, max_pivots: int = 256):
             )
         xB, y = pair
         primal, dual, redundant = _violations(cf, sys_b, vstat, xB, y)
+        import os as _os2
+
+        if _os2.environ.get("RELP_TPU_EXACT_DEBUG"):
+            print(
+                f"# polish round: primal={len(primal)} dual={len(dual)} "
+                f"redundant={len(redundant)} pivots={pivots} "
+                f"batch_cap={batch_cap}", flush=True,
+            )
         if (not primal and not dual) or pivots >= max_pivots:
             if pivots:  # write the certified basis back
                 for k, slot in enumerate(slot_map):
@@ -947,22 +959,29 @@ def polish_to_certified(cf, result, max_pivots: int = 256):
             # (soundness rides on the final exact certificate alone).
             snapshot = (list(kinds), vstat.copy(), pivots)
             used_q = set()
+            # pivot SELECTION uses ~200-bit certified dyadic solves: float
+            # guidance breaks on near-singular bases (STOCFOR3: cond~1e16
+            # from 69 numerically redundant rows), while FULL exact ρ at
+            # XL scale costs minutes per violation.  200 dyadic bits give
+            # reliable signs/ratios (true nonzero α ≫ 2^-90 in practice);
+            # the next round's EXACT certificate guards soundness anyway.
+            d_nums2, d_den2 = _violations.last_sweep
+            zero_gap = FR(1, 1 << 90)
             for r, _viol, below in primal[
                 : min(batch_cap, max_pivots - pivots)
             ]:
                 e_r = [FR(0)] * m
                 e_r[r] = FR(1)
-                rho = sys_b.solve(e_r, trans=True)
+                rho = _refine_solve_sparse(
+                    sys_b.lu, sys_b.B_cols, e_r, trans=True,
+                    approx_bits=200,
+                )
                 if rho is None:
                     break
                 a_nums, a_den = sys_b.row_sweep(rho)
                 best = None  # (ratio, -|alpha|, j)
                 for j in range(n):
-                    if (
-                        j in sys_b.in_basis
-                        or j in used_q
-                        or not a_nums[j]
-                    ):
+                    if j in sys_b.in_basis or j in used_q or not a_nums[j]:
                         continue
                     s = int(vstat[j])
                     if s == st.NB_FIXED or (
@@ -970,12 +989,15 @@ def polish_to_certified(cf, result, max_pivots: int = 256):
                     ):
                         continue
                     alpha = FR(a_nums[j], a_den)
+                    if abs(alpha) <= zero_gap:
+                        continue  # exactly-zero α seen at approx precision
                     a_eff = alpha if below else -alpha
                     at_l = s in (st.NB_LOWER, st.NB_FREE)
                     at_u = s in (st.NB_UPPER, st.NB_FREE)
                     if not ((at_l and a_eff < 0) or (at_u and a_eff > 0)):
                         continue
-                    ratio = abs(d_of(j)) / abs(a_eff)
+                    dj = FR(float(cf.c[j])) - FR(d_nums2[j], d_den2)
+                    ratio = abs(dj) / abs(a_eff)
                     key = (ratio, -abs(alpha), j)
                     if best is None or key < best[0]:
                         best = (key, j)
@@ -992,23 +1014,29 @@ def polish_to_certified(cf, result, max_pivots: int = 256):
                 pivots += 1
                 applied = True
         if not applied and dual:
-            # ---- primal step (exact ratio test + bound flip) on the worst
-            # reduced-cost sign violation
-            q, dq = dual[0]
-            sigma = 1 if dq < 0 else -1
-            a_q = sys_b.frac_col(q)
-            u = sys_b.solve(
-                [FR(0)] * m
-                if not a_q
-                else [
-                    next((v for i2, v in a_q if i2 == i), FR(0))
-                    for i in range(m)
-                ],
-                trans=False,
-            )
-            if u is not None:
+            # ---- primal steps (exact ratio test + bound flip) on
+            # reduced-cost sign violations — one per violating column per
+            # round (θ ≈ 0 for rounding-level violations, so the steps are
+            # independent; blocking slots are deduped and any interaction
+            # surfaces in the next round's exact certificate)
+            snapshot = (list(kinds), vstat.copy(), pivots)
+            used_r = set()
+            zero_gap = FR(1, 1 << 90)
+            for q, dq in dual[: min(batch_cap, max_pivots - pivots)]:
+                sigma = 1 if dq < 0 else -1
+                col_dense = [FR(0)] * m
+                for i2, v in sys_b.frac_col(q):
+                    col_dense[i2] = v
+                u = _refine_solve_sparse(
+                    sys_b.lu, sys_b.B_cols, col_dense, trans=False,
+                    approx_bits=200,
+                )
+                if u is None:
+                    break
                 theta_blk = None  # (theta, -|u|, slot)
                 for k in range(m):
+                    if k in used_r or abs(u[k]) <= zero_gap:
+                        continue
                     su = u[k] * sigma
                     if su > 0 and sys_b.slot_lb[k] is not None:
                         t = (xB[k] - sys_b.slot_lb[k]) / su
@@ -1044,6 +1072,7 @@ def polish_to_certified(cf, result, max_pivots: int = 256):
                         vstat[kd] = stat
                     kinds[r_blk] = q
                     vstat[q] = st.BASIC
+                    used_r.add(r_blk)
                     pivots += 1
                     applied = True
         if not applied:
