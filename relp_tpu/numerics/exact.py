@@ -594,11 +594,16 @@ class _BasisSystem:
         except RuntimeError:
             self.lu = None
 
-    def solve(self, rhs, trans=False):
-        """Exact solve of B x = rhs (Bᵀ x = rhs when ``trans``), or None."""
+    def solve(self, rhs, trans=False, approx_bits=0):
+        """Exact solve of B x = rhs (Bᵀ x = rhs when ``trans``), or None.
+
+        ``approx_bits`` > 0 returns a certified-precision dyadic
+        approximation instead (no rational reconstruction needed)."""
         if self.lu is None:
             return None
-        return _refine_solve_sparse(self.lu, self.B_cols, rhs, trans=trans)
+        return _refine_solve_sparse(
+            self.lu, self.B_cols, rhs, trans=trans, approx_bits=approx_bits
+        )
 
     def dense_solves(self):
         """Dense exact elimination fallback: (xB, y) or None-if-singular."""
@@ -686,7 +691,7 @@ _REDUNDANT_RESIDUAL_CAP = Fraction(1, 1 << 40)  # ~9e-13: strictly a float-
 # rounding artifact scale; larger artificial levels stay real violations
 
 
-def _violations(cf, sys: "_BasisSystem", vstat, xB, y):
+def _violations(cf, sys: "_BasisSystem", vstat, xB, y, gap=None):
     """Exact primal/dual violation lists.
 
     Returns (primal, dual, redundant): ``primal`` = [(slot, viol, below)]
@@ -700,13 +705,15 @@ def _violations(cf, sys: "_BasisSystem", vstat, xB, y):
     from relp_tpu.simplex import status as st
 
     FR = Fraction
+    if gap is None:
+        gap = FR(0)
     primal = []
     redundant = []
     for k in range(sys.m):
         lo, hi = sys.slot_lb[k], sys.slot_ub[k]
-        if lo is not None and xB[k] < lo:
+        if lo is not None and xB[k] < lo - gap:
             viol, below = lo - xB[k], True
-        elif hi is not None and xB[k] > hi:
+        elif hi is not None and xB[k] > hi + gap:
             viol, below = xB[k] - hi, False
         else:
             continue
@@ -726,13 +733,13 @@ def _violations(cf, sys: "_BasisSystem", vstat, xB, y):
             continue  # fixed: any sign is optimal
         d = FR(c_dy[j][0], 1 << c_dy[j][1]) - FR(d_nums[j], den)
         if s == st.NB_UPPER:
-            if d > 0:
+            if d > gap:
                 dual.append((j, d))
         elif s == st.NB_FREE:
-            if d != 0:
+            if abs(d) > gap:
                 dual.append((j, d))
         else:  # NB_LOWER
-            if d < 0:
+            if d < -gap:
                 dual.append((j, d))
     primal.sort(key=lambda t: -t[1])
     dual.sort(key=lambda t: -abs(t[1]))
@@ -864,37 +871,38 @@ def polish_to_certified(cf, result, max_pivots: int = 2048):
         if int(j) < cf.n or (int(j) >= n_pad and int(j) - n_pad < m)
     ]
 
-    def _mk_cert(sys_b, xB, primal, dual, redundant):
-        return OptimalityCertificate(
-            basis_nonsingular=True,
-            max_primal_violation=primal[0][1] if primal else FR(0),
-            max_dual_violation=abs(dual[0][1]) if dual else FR(0),
-            objective=_objective_of(cf, sys_b, xB),
-            redundant_rows=len(redundant),
-            max_redundant_residual=redundant[0][1] if redundant else FR(0),
+    def _view():
+        """Result-shaped view of the CURRENT (possibly pivoted) basis."""
+        from types import SimpleNamespace
+
+        b2 = basis.copy()
+        for k, slot in enumerate(slot_map):
+            kd = kinds[k]
+            b2[slot] = kd if kd >= 0 else n_pad + (-kd - 1)
+        return SimpleNamespace(
+            basis=b2, vstat=vstat, art_sign=art_sign,
+            metrics=SimpleNamespace(n_padded=n_pad),
         )
 
     pivots = 0
-    batch_cap = 64  # pivots per round; drops to 1 after a bad batch
+    batch_cap = 64  # pivots per round; drops by half after a bad batch
     snapshot = None  # (kinds, vstat, pivots) before the last round
+    # Intermediate rounds detect violations on ~300-bit certified dyadic
+    # solves (fast, no rational reconstruction); only a clean-looking
+    # basis pays the FULL exact certificate.  Anything hiding below the
+    # detection gap surfaces in that exact finale, which alone decides
+    # the certificate (soundness never rests on approximations).
+    det_gap = FR(1, 1 << 250)
     while True:
         sys_b = _BasisSystem(cf, kinds, vstat, art_sign)
-        try:
-            pair = _exact_xb_y(sys_b, m)
-        except ValueError:
-            pair = None if snapshot is not None else None
-            if snapshot is None:
-                raise
-        if pair is None and snapshot is not None and batch_cap > 1:
-            # a batched round produced a singular basis (simultaneous
-            # swaps can interact): revert and retry at half the width
-            kinds, vstat, pivots = snapshot
-            kinds = list(kinds)
-            vstat = vstat.copy()
-            batch_cap = max(1, batch_cap // 2)
-            snapshot = None
-            continue
-        if pair is None:
+        if sys_b.lu is None:
+            if snapshot is not None and batch_cap > 1:
+                kinds, vstat, pivots = snapshot
+                kinds = list(kinds)
+                vstat = vstat.copy()
+                batch_cap = max(1, batch_cap // 2)
+                snapshot = None
+                continue
             return (
                 OptimalityCertificate(
                     basis_nonsingular=False,
@@ -904,8 +912,53 @@ def polish_to_certified(cf, result, max_pivots: int = 2048):
                 ),
                 pivots,
             )
-        xB, y = pair
-        primal, dual, redundant = _violations(cf, sys_b, vstat, xB, y)
+        xB = sys_b.solve(sys_b.rhs, approx_bits=304)
+        y = (
+            sys_b.solve(sys_b.cB, trans=True, approx_bits=304)
+            if xB is not None
+            else None
+        )
+        if (xB is None or y is None) and snapshot is not None and batch_cap > 1:
+            # a batched round left a (near-)singular basis: revert and
+            # retry at half the width
+            kinds, vstat, pivots = snapshot
+            kinds = list(kinds)
+            vstat = vstat.copy()
+            batch_cap = max(1, batch_cap // 2)
+            snapshot = None
+            continue
+        if xB is None or y is None:
+            return (
+                OptimalityCertificate(
+                    basis_nonsingular=False,
+                    max_primal_violation=FR(0),
+                    max_dual_violation=FR(0),
+                    objective=FR(0),
+                ),
+                pivots,
+            )
+        primal, dual, redundant = _violations(
+            cf, sys_b, vstat, xB, y, gap=det_gap
+        )
+        if not primal and not dual:
+            # clean at detection precision: the EXACT certificate decides
+            cert = certify_optimal_basis(cf, _view())
+            if cert.ok() or pivots >= max_pivots:
+                if pivots:
+                    for k, slot in enumerate(slot_map):
+                        kd = kinds[k]
+                        basis[slot] = (
+                            kd if kd >= 0 else n_pad + (-kd - 1)
+                        )
+                    result.basis = basis
+                    result.vstat = vstat
+                return cert, pivots
+            # sub-gap violations exist: fall through with EXACT data
+            pair = _exact_xb_y(sys_b, m)
+            if pair is None:
+                return cert, pivots
+            xB, y = pair
+            primal, dual, redundant = _violations(cf, sys_b, vstat, xB, y)
         import os as _os2
 
         if _os2.environ.get("RELP_TPU_EXACT_DEBUG"):
@@ -914,16 +967,17 @@ def polish_to_certified(cf, result, max_pivots: int = 2048):
                 f"redundant={len(redundant)} pivots={pivots} "
                 f"batch_cap={batch_cap}", flush=True,
             )
-        if (not primal and not dual) or pivots >= max_pivots:
-            if pivots:  # write the certified basis back
+        if pivots >= max_pivots:
+            # budget exhausted with detected violations: report the EXACT
+            # certificate of where we stand
+            cert = certify_optimal_basis(cf, _view())
+            if pivots:
                 for k, slot in enumerate(slot_map):
                     kd = kinds[k]
                     basis[slot] = kd if kd >= 0 else n_pad + (-kd - 1)
                 result.basis = basis
                 result.vstat = vstat
-            return _mk_cert(sys_b, xB, primal, dual, redundant), pivots
-        if sys_b.lu is None:
-            return _mk_cert(sys_b, xB, primal, dual, redundant), pivots
+            return cert, pivots
 
         lb_f = [
             FR(float(cf.lb[j])) if np.isfinite(cf.lb[j]) else None
@@ -1076,6 +1130,13 @@ def polish_to_certified(cf, result, max_pivots: int = 2048):
                     pivots += 1
                     applied = True
         if not applied:
-            # no admissible exact pivot (exactly infeasible/unbounded
-            # beyond repair): report the honest certificate
-            return _mk_cert(sys_b, xB, primal, dual, redundant), pivots
+            # no admissible pivot (exactly infeasible/unbounded beyond
+            # repair): report the honest EXACT certificate of this basis
+            cert = certify_optimal_basis(cf, _view())
+            if pivots:
+                for k, slot in enumerate(slot_map):
+                    kd = kinds[k]
+                    basis[slot] = kd if kd >= 0 else n_pad + (-kd - 1)
+                result.basis = basis
+                result.vstat = vstat
+            return cert, pivots
