@@ -903,15 +903,10 @@ def polish_to_certified(cf, result, max_pivots: int = 2048):
                 batch_cap = max(1, batch_cap // 2)
                 snapshot = None
                 continue
-            return (
-                OptimalityCertificate(
-                    basis_nonsingular=False,
-                    max_primal_violation=FR(0),
-                    max_dual_violation=FR(0),
-                    objective=FR(0),
-                ),
-                pivots,
-            )
+            # float-singular is NOT proof of singularity over Q: let the
+            # certificate decide (dense exact fallback at small m, honest
+            # ValueError beyond)
+            return certify_optimal_basis(cf, _view()), pivots
         xB = sys_b.solve(sys_b.rhs, approx_bits=304)
         y = (
             sys_b.solve(sys_b.cB, trans=True, approx_bits=304)
