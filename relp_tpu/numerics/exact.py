@@ -923,15 +923,9 @@ def polish_to_certified(cf, result, max_pivots: int = 2048):
             snapshot = None
             continue
         if xB is None or y is None:
-            return (
-                OptimalityCertificate(
-                    basis_nonsingular=False,
-                    max_primal_violation=FR(0),
-                    max_dual_violation=FR(0),
-                    objective=FR(0),
-                ),
-                pivots,
-            )
+            # approx refinement stalled (conditioning): the certificate
+            # machinery decides honestly (dense fallback / ValueError)
+            return certify_optimal_basis(cf, _view()), pivots
         primal, dual, redundant = _violations(
             cf, sys_b, vstat, xB, y, gap=det_gap
         )
@@ -949,7 +943,10 @@ def polish_to_certified(cf, result, max_pivots: int = 2048):
                     result.vstat = vstat
                 return cert, pivots
             # sub-gap violations exist: fall through with EXACT data
-            pair = _exact_xb_y(sys_b, m)
+            try:
+                pair = _exact_xb_y(sys_b, m)
+            except ValueError:
+                pair = None
             if pair is None:
                 return cert, pivots
             xB, y = pair
