@@ -533,9 +533,14 @@ def main(argv=None) -> int:
 
     # measured per-instance engine map for --algorithm auto (VERDICT r4
     # next #5; runs/tpu_r5d_large_ipm.log): the IPM converges 7/8 large
-    # instances in 21-89 Mehrotra iterations; GREENBEA stalls at kkt
-    # ~8.4e-4 and pays a wasted attempt before the in-driver simplex
-    # fallback — route it straight to the primal simplex.
+    # instances in 21-89 Mehrotra iterations.  GREENBEA stays on the
+    # primal simplex: its f32 escape phase decentres the iterate (fixed
+    # by --ipm-ladder f64, which converges in 47 iterations to KKT
+    # 2.2e-7), but GREENBEA's magnitudes (|obj| = 7.3e7, duals ~1e5)
+    # turn that scaled-space KKT into ~9e4 absolute objective slop —
+    # the suite's 1e0 absolute check effectively demands a VERTEX, and
+    # ipm+crossover does not beat the simplex's 51 s on this instance
+    # (runs/r5s2_battery.log).
     AUTO_PRIMAL = {"GREENBEA"}
 
     def cfg_for(name):
@@ -728,7 +733,9 @@ def main(argv=None) -> int:
             "iters": iters,
             "wall_s": round(dt, 3),
             "objective": obj,
-            "engine": cfg_for(name).algorithm,
+            "engine": cfg_for(name).algorithm + (
+                "+f64" if cfg_for(name).ipm_ladder == "f64" else ""
+            ),
             "presolve_removed": [m0 - general.nr_constraints,
                                  n0 - general.nr_variables],
         }

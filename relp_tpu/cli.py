@@ -108,9 +108,16 @@ def main(argv=None) -> int:
         "relative KKT is below this; otherwise fall back to simplex",
     )
     ap.add_argument(
-        "--ipm-max-iter", type=int, default=120, metavar="N",
+        "--ipm-max-iter", type=int, default=200, metavar="N",
         help="with --algorithm ipm: Mehrotra iteration budget "
         "(each is one normal-equation GEMM + Cholesky)",
+    )
+    ap.add_argument(
+        "--ipm-ladder", choices=["auto", "mixed", "f64"], default="auto",
+        help="with --algorithm ipm: Cholesky precision ladder — auto "
+        "(f32→f64 on accelerators, f64 on CPU), mixed, or f64-only "
+        "(GREENBEA-class instances whose f32 escape phase decentres the "
+        "iterate)",
     )
     ap.add_argument(
         "--perturb",
@@ -209,6 +216,7 @@ def main(argv=None) -> int:
         ipm_tol=args.ipm_tol,
         ipm_accept=args.ipm_accept,
         ipm_max_iter=args.ipm_max_iter,
+        ipm_ladder=args.ipm_ladder,
     )
 
     t0 = time.perf_counter()

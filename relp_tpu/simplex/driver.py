@@ -1436,7 +1436,8 @@ def solve_computational_form(
         res = solve_ipm(
             A_dense, b_s, c_s, lb_s, ub_s,
             tol=config.ipm_tol, accept=config.ipm_accept,
-            max_iter=config.ipm_max_iter, log=_log,
+            max_iter=config.ipm_max_iter, ladder=config.ipm_ladder,
+            log=_log,
         )
         if res is None:
             return None
@@ -2668,16 +2669,16 @@ def _solve_fleet_ipm(A, b, c, lb, ub, config: SolverConfig):
             A64, Afac, *argv, xfix_d
         )
 
-    def _vchunk(fdt, Afac, n_ir, state, delta, rho):
+    def _vchunk(fdt, Afac, n_ir, state, delta, rho, kkt_ref):
         f = functools.partial(
             ipm_chunk, fdt=fdt, n_ir=n_ir,
             k_max=(1 if on_cpu else 8),
         )
         return jax.vmap(
-            f, in_axes=lane_axes + (0, 0, 0, 0, None, None)
+            f, in_axes=lane_axes + (0, 0, 0, 0, None, None, 0)
         )(
             A64, Afac, *argv, state, delta, rho, nb_d, gamma,
-            jnp.float64(tol),
+            jnp.float64(tol), kkt_ref,
         )
 
     fdt, Afac, n_ir = ladder[rung]
@@ -2690,6 +2691,7 @@ def _solve_fleet_ipm(A, b, c, lb, ub, config: SolverConfig):
 
     delta = jnp.full(N, 1e-8)
     rho = jnp.full(N, 1e-10)
+    kkt_ref = np.full(N, np.inf)  # per-lane last committed KKT (ir gate)
     best_kkt = np.full(N, np.inf)
     bX = np.zeros((N, n_pad))
     bY = np.zeros((N, m_pad))
@@ -2701,7 +2703,10 @@ def _solve_fleet_ipm(A, b, c, lb, ub, config: SolverConfig):
     t0 = _t.perf_counter()
     while it < max_iter:
         try:
-            out = _vchunk(fdt, Afac, n_ir, state, delta, rho)
+            out = _vchunk(
+                fdt, Afac, n_ir, state, delta, rho,
+                jnp.asarray(kkt_ref, jnp.float64),
+            )
         except Exception as e:  # remote compile helper rejects the batched
             # f64 program (observed: HTTP 500 on the 64-lane PILOT87 f64
             # chunk, runs/tpu_r5h_fleet_pilot87.log) — keep the best f32
@@ -2711,6 +2716,14 @@ def _solve_fleet_ipm(A, b, c, lb, ub, config: SolverConfig):
             break
         state, delta, rho = out.state, out.delta, out.rho
         it += int(np.max(np.asarray(out.committed)))
+        d = out.diag
+        lane_kkt = np.maximum(
+            np.maximum(np.asarray(d.rp), np.asarray(d.rd)), np.asarray(d.gap)
+        )
+        committed_lanes = np.asarray(out.committed) > 0
+        kkt_ref = np.where(
+            committed_lanes & np.isfinite(lane_kkt), lane_kkt, kkt_ref
+        )
         ck = np.asarray(out.best_kkt)
         imp = ck < best_kkt
         if np.any(imp):

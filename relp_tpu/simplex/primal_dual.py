@@ -257,20 +257,26 @@ class IpmChunkOut(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("fdt", "n_ir", "k_max"))
 def ipm_chunk(
     A64, Afac, b, c, lbf, ubf, hl, hu, dmask,
-    state: IpmState, delta, rho, nb, gamma, tol, fdt, n_ir, k_max,
+    state: IpmState, delta, rho, nb, gamma, tol, kkt_ref, fdt, n_ir, k_max,
 ):
     """Up to ``k_max`` Mehrotra iterations in ONE bounded device call.
 
     The per-iteration host loop pays a full dispatch round-trip through
     the remote TPU tunnel (~0.5 s measured on PILOT87 — more than the
     iteration's compute); this runs the same host policy in-graph
-    instead: an unhealthy direction (non-finite, or normal-equation
-    refinement residual ≥ 1e-2) leaves the state unchanged and raises
-    δ ×100 (ρ = max(ρ, δ/100)); a healthy one commits and lets δ/ρ
-    shrink with μ.  The chunk exits early on KKT ≤ tol or 3 consecutive
-    unhealthy retries (the host then escalates the precision ladder).
-    The best committed point is tracked in-graph so a late blow-up never
-    loses the certificate candidate.
+    instead: an unhealthy direction (non-finite, or a normal-equation
+    refinement residual that is ≥1e-2 absolute OR ≥3% of the last
+    committed KKT — a direction solved with error at the current KKT
+    level cannot improve it, it only walks the iterate off the central
+    path, which is exactly how GREENBEA's f32 rung poisoned the f64
+    handoff at μ≈1) leaves the state unchanged and raises δ ×100
+    (ρ = max(ρ, δ/100)); a healthy one commits and lets δ/ρ shrink with
+    μ.  ``kkt_ref`` seeds the relative gate (host passes the last
+    committed KKT, ``inf`` on the first chunk).  The chunk exits early
+    on KKT ≤ tol or 3 consecutive unhealthy retries (the host then
+    escalates the precision ladder).  The best committed point is
+    tracked in-graph so a late blow-up never loses the certificate
+    candidate.
     """
     big = jnp.float64(jnp.inf)
 
@@ -278,19 +284,21 @@ def ipm_chunk(
         return jnp.maximum(jnp.maximum(diag.rp, diag.rd), diag.gap)
 
     def cond(carry):
-        _, _, _, attempts, _, bad, _, _, _, diag, stop = carry
+        _, _, _, attempts, _, bad, _, _, _, _, diag, stop = carry
         return (attempts < k_max) & ~stop
 
     def body(carry):
         (state, delta, rho, attempts, committed, bad,
-         best_x, best_y, best_kkt, _diag, _stop) = carry
+         best_x, best_y, best_kkt, kkt_ref, _diag, _stop) = carry
         new_state, diag = _step_math(
             A64, Afac, b, c, lbf, ubf, hl, hu, dmask,
             state, delta, rho, nb, gamma, fdt, n_ir,
         )
         kkt = kkt_of(diag)
         healthy = (
-            jnp.isfinite(diag.mu) & jnp.isfinite(kkt) & (diag.ir_err < 1e-2)
+            jnp.isfinite(diag.mu) & jnp.isfinite(kkt)
+            & (diag.ir_err < 1e-2)
+            & (diag.ir_err < jnp.maximum(0.03 * kkt_ref, 1e-13))
         )
         state1 = jax.tree.map(
             lambda new, old: jnp.where(healthy, new, old), new_state, state
@@ -312,6 +320,7 @@ def ipm_chunk(
         best_x1 = jnp.where(improved, state1.x, best_x)
         best_y1 = jnp.where(improved, state1.y, best_y)
         best_kkt1 = jnp.where(improved, kkt, best_kkt)
+        kkt_ref1 = jnp.where(healthy, kkt, kkt_ref)
         stop = (healthy & (kkt <= tol)) | (bad1 >= 3)
         diag1 = jax.tree.map(
             lambda new, old: jnp.where(healthy, new, old), diag, _diag
@@ -319,16 +328,17 @@ def ipm_chunk(
         return (
             state1, delta1, rho1, attempts + 1,
             committed + healthy.astype(jnp.int32), bad1,
-            best_x1, best_y1, best_kkt1, diag1, stop,
+            best_x1, best_y1, best_kkt1, kkt_ref1, diag1, stop,
         )
 
     zero_diag = IpmDiag(*([jnp.float64(jnp.nan)] * 10))
     init = (
         state, delta, rho, jnp.int32(0), jnp.int32(0), jnp.int32(0),
-        state.x, state.y, big, zero_diag, jnp.bool_(False),
+        state.x, state.y, big, jnp.float64(kkt_ref), zero_diag,
+        jnp.bool_(False),
     )
     (state, delta, rho, _attempts, committed, bad,
-     best_x, best_y, best_kkt, diag, _stop) = jax.lax.while_loop(
+     best_x, best_y, best_kkt, _kkt_ref, diag, _stop) = jax.lax.while_loop(
         cond, body, init
     )
     return IpmChunkOut(
@@ -392,8 +402,9 @@ def solve_ipm(
     *,
     tol: float = 1e-8,
     accept: float = 1e-6,
-    max_iter: int = 120,
+    max_iter: int = 200,
     free_box: float = 1e5,
+    ladder: str = "auto",
     log=None,
 ):
     """Host loop: run Mehrotra iterations until the relative KKT criteria
@@ -408,11 +419,18 @@ def solve_ipm(
     # CPU factors in f64 natively; accelerators start on the fast f32
     # Cholesky and escalate to the f64 one (still refinement-wrapped: the
     # XLA f64 solve itself floors near 3e-6 relative at m≈6k) when the
-    # f32 preconditioner stops contracting.
+    # f32 preconditioner stops contracting.  RELP_TPU_IPM_LADDER overrides:
+    # "mixed" forces the accelerator ladder on CPU (reproduces the TPU
+    # escalation path in tests), "f64" forces the f64-only rung anywhere.
+    import os
+
     m, n = A_dense.shape
     A64 = jax.device_put(jnp.asarray(A_dense, jnp.float64))
-    if on_cpu:
-        ladder = [(jnp.float64, A64, 1)]
+    ladder_kind = ladder if ladder != "auto" else os.environ.get(
+        "RELP_TPU_IPM_LADDER", "f64" if on_cpu else "mixed"
+    )
+    if ladder_kind == "f64":
+        ladder = [(jnp.float64, A64, 1 if on_cpu else 2)]
     else:
         A32 = jax.device_put(jnp.asarray(A_dense, jnp.float32))
         ladder = [(jnp.float32, A32, 3), (jnp.float64, A64, 2)]
@@ -420,7 +438,7 @@ def solve_ipm(
     # f32 GEMM's ~6e-8·√n rounding exceeds the start regularization on
     # near-dependent rows); skip straight to f64 instead of paying a
     # multi-minute remote compile for a program that commits nothing
-    rung = 1 if (not on_cpu and m > 4096) else 0
+    rung = 1 if (len(ladder) > 1 and not on_cpu and m > 4096) else 0
     fdt, Afac, n_ir = ladder[rung]
 
     lb = np.asarray(lb, np.float64).copy()
@@ -468,11 +486,12 @@ def solve_ipm(
     gamma = 0.9995
     best = None  # (kkt, x, y, mu)
     best_kkt = np.inf
+    rung_best = np.inf  # stall reference local to the current rung
     stall = 0
     it = 0
     retries = 0
-    def _escalate(reason: str) -> bool:
-        nonlocal rung, fdt, Afac, n_ir
+    def _escalate(reason: str, mu: float | None = None) -> bool:
+        nonlocal rung, fdt, Afac, n_ir, rung_best, stall
         if rung + 1 >= len(ladder):
             return False
         rung += 1
@@ -481,20 +500,55 @@ def solve_ipm(
             log.info(
                 "ipm precision ladder → %s (%s)", np.dtype(fdt).name, reason
             )
+        # give the new rung a fresh stall reference: its early chunks
+        # must not be judged against a floor-level best the old rung
+        # could only *measure*, not hold
+        rung_best = np.inf
+        stall = 0
+        return True
+
+    restarted = False
+
+    def _cold_restart(reason: str) -> bool:
+        """One-shot restart from a fresh least-squares start at the TOP
+        rung — a state poisoned beyond warm recovery (f32-floor commits
+        walked it off the central path) still beats falling back to a
+        full simplex solve, and the best-point tracking keeps whatever
+        the failed path achieved."""
+        nonlocal state, delta, rho, stall, retries, restarted, kkt_ref
+        nonlocal rung_best
+        if restarted or rung + 1 < len(ladder):
+            return False
+        restarted = True
+        if log:
+            log.info("ipm cold restart at top rung (%s)", reason)
+        state = ls_start(A64, Afac, *args, xfix_d, fdt=fdt, n_ir=n_ir)
+        if not np.isfinite(float(jnp.max(jnp.abs(state.x)))):
+            return False
+        delta, rho = 1e-8, 1e-10
+        stall = 0
+        retries = 0
+        rung_best = np.inf
+        kkt_ref = np.inf
         return True
 
     # the in-graph chunk already applies the per-iteration health policy
     # (commit/retry, δ/ρ adaptation, best tracking); the host loop only
     # steers the CHUNK-level decisions: the precision ladder, stall
-    # detection, and termination.  k=8 amortizes the remote dispatch
-    # round-trip (~0.5 s/call measured) over 8 iterations.
-    k_chunk = 1 if on_cpu else 8
+    # detection, cold restart, and termination.  k=8 amortizes the remote
+    # dispatch round-trip (~0.5 s/call measured) over 8 iterations.
+    import os
+
+    k_chunk = int(
+        os.environ.get("RELP_TPU_IPM_CHUNK", "1" if on_cpu else "8")
+    )
+    kkt_ref = np.inf  # last committed KKT — seeds the relative ir gate
     while it < max_iter:
         out = ipm_chunk(
             A64, Afac, *args, state,
             jnp.float64(delta), jnp.float64(rho), jnp.float64(nb),
-            jnp.float64(gamma), jnp.float64(tol), fdt=fdt, n_ir=n_ir,
-            k_max=k_chunk,
+            jnp.float64(gamma), jnp.float64(tol), jnp.float64(kkt_ref),
+            fdt=fdt, n_ir=n_ir, k_max=k_chunk,
         )
         diag = out.diag
         committed = int(out.committed)
@@ -512,34 +566,51 @@ def solve_ipm(
                 float(diag.sigma), float(diag.ir_err), chunk_kkt,
             )
         if chunk_kkt < best_kkt:
-            if chunk_kkt < 0.9 * best_kkt:
-                stall = 0
             best_kkt = chunk_kkt
             best = (
                 chunk_kkt, np.asarray(out.best_x), np.asarray(out.best_y), mu
             )
-        else:
+        # stall bookkeeping is RUNG-LOCAL: after an escalation the new
+        # rung's progress is judged against its own best, not against a
+        # floor-level number the old rung briefly measured
+        if chunk_kkt < 0.9 * rung_best:
+            stall = 0
+        elif chunk_kkt >= rung_best:
             stall += committed
+        if chunk_kkt < rung_best:
+            rung_best = chunk_kkt
         if committed:
             state = out.state
+            if np.isfinite(kkt):
+                kkt_ref = kkt
         if int(out.bad) >= 3 or committed == 0:
             # the current rung's preconditioner stopped producing usable
             # directions: escalate; at the top rung count hard retries
             retries += 1
             if _escalate(
                 f"it={it} unhealthy (mu={mu:.2e} "
-                f"ir={float(diag.ir_err):.2e})"
+                f"ir={float(diag.ir_err):.2e})",
+                mu=mu,
             ):
                 continue
             if retries > 6:
+                if best_kkt > accept and _cold_restart(
+                    f"it={it} retries exhausted, best={best_kkt:.2e}"
+                ):
+                    continue
                 break
             continue
         if np.isfinite(kkt) and kkt <= tol:
             break
-        if stall >= 4 and _escalate(f"it={it} stalled at kkt={best_kkt:.2e}"):
-            stall = 0
+        if stall >= 4 and _escalate(
+            f"it={it} stalled at kkt={best_kkt:.2e}", mu=mu
+        ):
             continue
         if stall >= 12:
+            if best_kkt > accept and _cold_restart(
+                f"it={it} stalled at kkt={best_kkt:.2e}"
+            ):
+                continue
             break
 
     if best is None:

@@ -228,7 +228,17 @@ class SolverConfig:
     # normal-equation GEMM + Cholesky; 20-60 typical).
     ipm_tol: float = 1e-8
     ipm_accept: float = 1e-6
-    ipm_max_iter: int = 120
+    # 200 leaves room for the one-shot cold restart at the top rung
+    # (decentred f32→f64 handoffs restart from a fresh start point and
+    # need ~50 more iterations; healthy instances converge in 20-60)
+    ipm_max_iter: int = 200
+    # Cholesky precision ladder: "auto" = f64-only on CPU, f32→f64 on
+    # accelerators; "f64" forces the f64-only rung everywhere (GREENBEA-
+    # class instances: the f32 rung's escape-phase directions walk the
+    # iterate into a badly-centered region the f64 handoff crawls out
+    # of, while pure f64 converges in 47 iterations); "mixed" forces the
+    # two-rung ladder.
+    ipm_ladder: str = "auto"
     # Branch-and-bound variable selection: "pseudo" = pseudo-cost product
     # rule (per-variable average LP-bound degradation per unit fractional
     # distance, learned online; Achterberg); "fractional" = the round-2

@@ -110,3 +110,24 @@ def test_ipm_free_and_ranged_bounds():
     assert res.solution.objective_value == pytest.approx(
         -3.1501872802e2, rel=1e-6
     )
+
+
+@pytest.mark.parametrize("ladder", ["mixed", "f64"])
+def test_ipm_ladder_config(ladder, monkeypatch):
+    """config.ipm_ladder selects the Cholesky precision ladder explicitly
+    (mixed = f32→f64 even on CPU, exercising the escalation + relative
+    refinement gate; f64 = single rung).  Both must solve to the same
+    objective."""
+    from relp_tpu.api import solve
+
+    monkeypatch.setenv("RELP_TPU_IPM_CHUNK", "8")
+    res = solve(
+        reference_problem("netlib", "SHARE1B.SIF"),
+        config=SolverConfig(
+            algorithm="ipm", ipm_ladder=ladder, pdlp_crossover=False
+        ),
+    )
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    assert res.solution.objective_value == pytest.approx(
+        -7.6589318579e4, rel=1e-6
+    )
