@@ -537,7 +537,6 @@ def solve_ipm(
     # steers the CHUNK-level decisions: the precision ladder, stall
     # detection, cold restart, and termination.  k=8 amortizes the remote
     # dispatch round-trip (~0.5 s/call measured) over 8 iterations.
-    import os
 
     k_chunk = int(
         os.environ.get("RELP_TPU_IPM_CHUNK", "1" if on_cpu else "8")
